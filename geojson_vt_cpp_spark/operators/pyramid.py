@@ -1,0 +1,413 @@
+"""The tile pyramid: BFS-per-zoom index build + lazy drill-down ``get_tile``.
+
+Spark re-expression of ``GeoJSONVT`` (``include/mapbox/geojsonvt.hpp:94-258``).
+The reference's recursive DFS ``splitTile`` becomes a per-zoom loop:
+
+- one narrow ``mapInPandas`` pass clips every assigned feature into its four
+  buffered child quadrants (no shuffle — features never leave their
+  partitions),
+- one small aggregate per level (sum of per-feature ``num_points`` per tile)
+  drives the stop conditions (``z == indexMaxZoom`` /
+  ``num_points <= indexMaxPoints``, ``geojsonvt.hpp:210-215``) on the driver,
+- quantization to int16 tile features is deferred and runs as one job over
+  the union of all levels when output is first requested.
+
+Tile metadata (num_points, row counts, source retention) lives on the driver
+— it is bounded by the visited-tile count, which the index caps at
+4^indexMaxZoom; at larger index depths this dict would move into a small
+DataFrame, the algorithm is unchanged. Empty tiles ARE materialized (the
+reference constructs an InternalTile for every child before checking
+``features.empty()``, ``geojsonvt.hpp:189-206`` — the us-states golden
+contains 19 empty tiles).
+
+``get_tile`` mirrors ``geojsonvt.hpp:117-150``: x wraparound, ancestor walk,
+targeted drill-down re-running the split from the nearest retained source,
+ancestor-path pruning (only ancestors of the target recurse,
+``geojsonvt.hpp:228-234``), and the canonical empty tile for misses.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geojson_vt_cpp_spark.config import Options
+from geojson_vt_cpp_spark.functions import kernels as K
+from geojson_vt_cpp_spark.operators import codec
+from geojson_vt_cpp_spark.operators.clip_stage import iter_rows, split_children
+from geojson_vt_cpp_spark.operators.convert import extract_features
+from geojson_vt_cpp_spark.operators.wrap import wrap_features
+
+
+@dataclass
+class Tile:
+    """Materialized tile (reference ``Tile``, tile.hpp:10-14)."""
+
+    z: int
+    x: int
+    y: int
+    features: list = field(default_factory=list)
+    num_points: int = 0
+    num_simplified: int = 0
+
+
+EMPTY_TILE = Tile(-1, 0, 0)  # canonical empty tile (geojsonvt.hpp:64)
+
+
+@dataclass
+class _Meta:
+    num_points: int
+    rows: int
+    has_source: bool = False
+
+
+def quantize(assigned_df: DataFrame, options: Options) -> DataFrame:
+    """Assigned features -> quantized tile features (one narrow pass).
+
+    Per-tile tolerance is ``z == maxZoom ? 0 : tolerance/(2^z*extent)``
+    (``geojsonvt.hpp:192-193``); emit filters and multi collapse live in
+    :func:`kernels.transform_tile`. lineMetrics injects the
+    mapbox_clip_start/end properties for single-line features
+    (``tile.hpp:87-91``).
+    """
+    extent = options.extent
+    base_tol = options.tolerance
+    max_zoom = options.max_zoom
+    lm = options.line_metrics
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for row in iter_rows(pdf):
+                z = int(row["z"])
+                z2 = float(1 << z)
+                tol = 0.0 if z == max_zoom else base_tol / (z2 * extent)
+                g = codec.row_to_geom(row)
+                tf, nsimp = K.transform_tile(
+                    g, z2, int(row["tx"]), int(row["ty"]), extent, tol, lm
+                )
+                if tf is None:
+                    if nsimp:
+                        # dropped feature with counted points cannot happen
+                        # (see transform_tile) but keep the accounting exact
+                        rows.append(_stat_only_row(row, nsimp))
+                    continue
+                props_json = row["props_json"]
+                if tf.metrics is not None:
+                    props = json.loads(props_json)
+                    # emplace semantics: do not overwrite existing keys
+                    props.setdefault("mapbox_clip_start", tf.metrics[0])
+                    props.setdefault("mapbox_clip_end", tf.metrics[1])
+                    props_json = json.dumps(props, sort_keys=True, separators=(",", ":"))
+                rows.append(
+                    {
+                        "z": z,
+                        "tx": int(row["tx"]),
+                        "ty": int(row["ty"]),
+                        "copy_tag": row["copy_tag"],
+                        "doc_id": row["doc_id"],
+                        "span_idx": row["span_idx"],
+                        "feature_idx": row["feature_idx"],
+                        "member_seq": row["member_seq"],
+                        "slice_path": row["slice_path"],
+                        "out_type": tf.out_type,
+                        "is_multi": tf.is_multi,
+                        "part_xs": [p[:, 0].tolist() for p in tf.parts],
+                        "part_ys": [p[:, 1].tolist() for p in tf.parts],
+                        "poly_lens": tf.poly_lens.tolist(),
+                        "props_json": props_json,
+                        "feature_id": row["feature_id"],
+                        "id_kind": row["id_kind"],
+                        "n_simplified": nsimp,
+                        "num_points": row["num_points"],
+                    }
+                )
+            yield codec.rows_to_pdf(rows, codec.TILE_FEATURES_SCHEMA)
+
+    return assigned_df.mapInPandas(kernel, codec.TILE_FEATURES_SCHEMA)
+
+
+def _stat_only_row(row: dict, nsimp: int) -> dict:
+    return {
+        "z": int(row["z"]), "tx": int(row["tx"]), "ty": int(row["ty"]),
+        "copy_tag": row["copy_tag"], "doc_id": row["doc_id"],
+        "span_idx": row["span_idx"], "feature_idx": row["feature_idx"],
+        "member_seq": row["member_seq"], "slice_path": row["slice_path"],
+        "out_type": -1, "is_multi": False, "part_xs": [], "part_ys": [],
+        "poly_lens": [], "props_json": row["props_json"],
+        "feature_id": row["feature_id"], "id_kind": row["id_kind"],
+        "n_simplified": nsimp, "num_points": row["num_points"],
+    }
+
+
+class TilePyramid:
+    """Eager index to ``index_max_zoom`` + on-demand drill-down."""
+
+    def __init__(self, features_df: DataFrame, options: Options | None = None):
+        self.o = options or Options()
+        self.spark = features_df.sparkSession
+        self.meta: dict[tuple[int, int, int], _Meta] = {}
+        self.stats: dict[int, int] = {}
+        self._level_assigned: dict[int, DataFrame] = {}
+        self._sources: dict[tuple[int, int, int], DataFrame] = {}
+        self._extra_assigned: list[DataFrame] = []
+        self._tile_features: DataFrame | None = None
+        self._tile_cache: dict[tuple[int, int, int], Tile] = {}
+
+        feats = wrap_features(
+            features_df, self.o.buffer / self.o.extent, self.o.line_metrics
+        )
+        self._build(feats)
+
+    @classmethod
+    def from_documents(cls, docs_df: DataFrame, options: Options | None = None,
+                       on_error: str = "raise") -> "TilePyramid":
+        """GeoJSONVT ctor equivalent (geojsonvt.hpp:98-108): convert at
+        tolerance (tolerance/extent)/2^maxZoom, wrap, split from z0."""
+        o = options or Options()
+        tol = (o.tolerance / o.extent) / (1 << o.max_zoom)
+        feats = extract_features(docs_df, tol, generate_id=o.generate_id,
+                                 on_error=on_error)
+        return cls(feats, o)
+
+    @property
+    def total(self) -> int:
+        return len(self.meta)
+
+    # ------------------------------------------------------------------ build
+
+    def _register(self, z: int, x: int, y: int, num_points: int, rows: int) -> _Meta:
+        m = _Meta(num_points=num_points, rows=rows)
+        self.meta[(z, x, y)] = m
+        self.stats[z] = self.stats.get(z, 0) + 1
+        return m
+
+    def _build(self, feats: DataFrame) -> None:
+        o = self.o
+        assigned = feats.select(
+            F.lit(0).alias("z"),
+            F.lit(0).cast("long").alias("tx"),
+            F.lit(0).cast("long").alias("ty"),
+            "*",
+        )
+        visit = {(0, 0)}
+        z = 0
+        while True:
+            assigned = assigned.persist()
+            self._level_assigned[z] = assigned
+            stats = {
+                (r["tx"], r["ty"]): (r["npts"], r["nrows"])
+                for r in assigned.groupBy("tx", "ty")
+                .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+                .collect()
+            }
+            splits = []
+            for (x, y) in sorted(visit):
+                npts, nrows = stats.get((x, y), (0, 0))
+                m = self._register(z, x, y, int(npts or 0), int(nrows))
+                if nrows == 0:
+                    continue  # empty tile: materialized, never splits
+                if z == o.index_max_zoom or m.num_points <= o.index_max_points:
+                    m.has_source = True  # leaf keeps source (geojsonvt.hpp:212-214)
+                else:
+                    splits.append((x, y))
+            if not splits:
+                break
+            split_df = self._filter_tiles(assigned, splits)
+            assigned = split_children(split_df, o.buffer, o.extent, o.line_metrics)
+            visit = {
+                (2 * x + dx, 2 * y + dy)
+                for (x, y) in splits
+                for dx in (0, 1)
+                for dy in (0, 1)
+            }
+            z += 1
+
+    @staticmethod
+    def _filter_tiles(df: DataFrame, tiles: list[tuple[int, int]]) -> DataFrame:
+        if len(tiles) == 1:
+            x, y = tiles[0]
+            return df.where((F.col("tx") == x) & (F.col("ty") == y))
+        cond = F.struct("tx", "ty").isin(
+            [F.struct(F.lit(x).cast("long"), F.lit(y).cast("long")) for x, y in tiles]
+        )
+        return df.where(cond)
+
+    # ------------------------------------------------------------ drill-down
+
+    def _source_df(self, key: tuple[int, int, int]) -> DataFrame | None:
+        if key in self._sources:
+            return self._sources[key]
+        z, x, y = key
+        lv = self._level_assigned.get(z)
+        if lv is None:
+            return None
+        return self._filter_tiles(lv, [(x, y)])
+
+    def _drill(self, cz: int, cx: int, cy: int) -> None:
+        """splitTile(parent.source, ..., cz, cx, cy) (geojsonvt.hpp:130-139).
+
+        Walks the ancestor path; at each level all four children are
+        materialized (stats registered, rows appended), non-ancestor children
+        retain their source, the ancestor child recurses, and the split tile
+        loses its source (geojsonvt.hpp:217-257).
+        """
+        o = self.o
+        # findParent (geojsonvt.hpp:159-176)
+        pz, px, py = cz, cx, cy
+        parent = None
+        while pz != 0:
+            pz -= 1
+            px //= 2
+            py //= 2
+            if (pz, px, py) in self.meta:
+                parent = (pz, px, py)
+                break
+        if parent is None:
+            raise ValueError("Parent tile not found")
+        m = self.meta[parent]
+        if not m.has_source or m.rows == 0:
+            return  # sourceless/empty parent: drill is a no-op
+        df = self._source_df(parent)
+        z, x, y = parent
+        while True:
+            # stop conditions for the current (materialized, sourced) tile
+            if z == o.max_zoom:
+                return
+            if z == cz:
+                return  # target reached earlier (it retained source)
+            m = 1 << (cz - z)
+            if x != cx // m or y != cy // m:
+                return
+            children = split_children(df, o.buffer, o.extent, o.line_metrics).persist()
+            self._extra_assigned.append(children)
+            self._tile_features = None  # invalidate union cache
+            cstats = {
+                (r["tx"], r["ty"]): (r["npts"], r["nrows"])
+                for r in children.groupBy("tx", "ty")
+                .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+                .collect()
+            }
+            # the split tile drops its source (geojsonvt.hpp:256-257)
+            self.meta[(z, x, y)].has_source = False
+            self._sources.pop((z, x, y), None)
+            nxt = None
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    czx, czy = 2 * x + dx, 2 * y + dy
+                    key = (z + 1, czx, czy)
+                    npts, nrows = cstats.get((czx, czy), (0, 0))
+                    cdf = self._filter_tiles(children, [(czx, czy)])
+                    if key not in self.meta:
+                        self._register(z + 1, czx, czy, int(npts or 0), int(nrows))
+                    if nrows == 0:
+                        continue
+                    if z + 1 == o.max_zoom:
+                        continue  # no source retained at maxZoom (geojsonvt.hpp:219-220)
+                    mm = 1 << (cz - (z + 1)) if cz > z + 1 else 1
+                    is_anc = (z + 1 == cz and (czx, czy) == (cx, cy)) or (
+                        z + 1 < cz and czx == cx // mm and czy == cy // mm
+                    )
+                    if z + 1 == cz or not is_anc:
+                        self.meta[key].has_source = True
+                        self._sources[key] = cdf
+                        continue
+                    nxt = (cdf, z + 1, czx, czy)
+            if nxt is None:
+                return
+            df, z, x, y = nxt
+
+    # --------------------------------------------------------------- output
+
+    def tile_features(self) -> DataFrame:
+        """All materialized tiles, quantized — lazy, cached."""
+        if self._tile_features is None:
+            dfs = list(self._level_assigned.values()) + self._extra_assigned
+            union = dfs[0]
+            for d in dfs[1:]:
+                union = union.unionByName(d)
+            self._tile_features = quantize(union, self.o).persist()
+        return self._tile_features
+
+    def get_tile(self, z: int, x: int, y: int) -> Tile:
+        """getTile (geojsonvt.hpp:117-150): wraparound, probe, drill, probe."""
+        if z > self.o.max_zoom:
+            raise ValueError(f"Requested zoom higher than maxZoom: {z}")
+        z2 = 1 << z
+        x = ((x % z2) + z2) % z2
+        key = (z, x, y)
+        if key not in self.meta:
+            self._drill(z, x, y)
+        if key not in self.meta:
+            return EMPTY_TILE
+        return self._collect_tile(key)
+
+    def _collect_tile(self, key: tuple[int, int, int]) -> Tile:
+        if key in self._tile_cache:
+            return self._tile_cache[key]
+        z, x, y = key
+        m = self.meta[key]
+        rows = (
+            self.tile_features()
+            .where((F.col("z") == z) & (F.col("tx") == x) & (F.col("ty") == y))
+            .orderBy(*codec.SORT_KEYS)
+            .collect()
+        )
+        feats = []
+        nsimp = 0
+        for r in rows:
+            nsimp += r["n_simplified"]
+            if r["out_type"] < 0:
+                continue
+            feats.append(
+                {
+                    "type": r["out_type"],
+                    "is_multi": r["is_multi"],
+                    "parts": [
+                        [[int(px), int(py)] for px, py in zip(xs, ys)]
+                        for xs, ys in zip(r["part_xs"], r["part_ys"])
+                    ],
+                    "poly_lens": list(r["poly_lens"]),
+                    "tags": json.loads(r["props_json"]),
+                    "id": r["feature_id"],
+                    "id_kind": r["id_kind"],
+                }
+            )
+        t = Tile(z, x, y, feats, m.num_points, nsimp)
+        self._tile_cache[key] = t
+        return t
+
+    def all_tiles(self) -> dict[str, list]:
+        """genTiles equivalent (test/test.cpp:340-361): every materialized
+        tile keyed 'z{z}-{x}-{y}', in ONE Spark job."""
+        rows = self.tile_features().orderBy("z", "tx", "ty", *codec.SORT_KEYS).collect()
+        out = {f"z{z}-{x}-{y}": [] for (z, x, y) in self.meta}
+        for r in rows:
+            if r["out_type"] < 0:
+                continue
+            out[f"z{r['z']}-{r['tx']}-{r['ty']}"].append(
+                {
+                    "type": r["out_type"],
+                    "is_multi": r["is_multi"],
+                    "parts": [
+                        [[int(px), int(py)] for px, py in zip(xs, ys)]
+                        for xs, ys in zip(r["part_xs"], r["part_ys"])
+                    ],
+                    "poly_lens": list(r["poly_lens"]),
+                    "tags": json.loads(r["props_json"]),
+                    "id": r["feature_id"],
+                    "id_kind": r["id_kind"],
+                }
+            )
+        return out
+
+    def close(self) -> None:
+        for df in list(self._level_assigned.values()) + self._extra_assigned:
+            df.unpersist()
+        if self._tile_features is not None:
+            self._tile_features.unpersist()

@@ -1,0 +1,207 @@
+"""The interleaved documents source (the engine's mandated input shape) and
+deterministic synthesis of it from GeoJSON fixtures.
+
+Input table shape (BASELINE.json input_hint):
+
+    documents_geo(doc_id string,
+                  spans array<struct<kind:string, text:string,
+                                     media_ref:string, offset:int>>)
+
+Synthesis rule (FIXTURES.md §1): one document per top-level feature of the
+fixture, ``doc_id = '{fixture}-{i:04d}'``, spans = [text intro,
+geojson(feature_i), media(raster tile ref derived from the feature's bbox
+center at z=7), text outro] with cumulative character offsets. Feature order
+follows the fixture's array order — parity goldens are order-sensitive.
+
+The per-row invariant every pipeline stage must preserve: span-sequence
+equality (kind, text, media_ref, order). The engine only ever *reads*
+documents (posexplode + filter), so the invariant holds by construction;
+:func:`span_sequence_fingerprint` lets tests assert it end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geojson_vt_cpp_spark.functions import kernels as K
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _feature_units(geojson_text: str) -> list[str]:
+    """Split a fixture into one serialized GeoJSON unit per top-level feature
+    (ToFeatureCollection semantics: bare geometry/Feature = one unit)."""
+    obj = json.loads(geojson_text)
+    if isinstance(obj, dict) and obj.get("type") == "FeatureCollection":
+        feats = obj.get("features", [])
+        if not feats:
+            return []
+        return [json.dumps(f, separators=(",", ":")) for f in feats]
+    return [json.dumps(obj, separators=(",", ":"))]
+
+
+def _bbox_center_tile(geojson_unit: str, z: int = 7) -> str:
+    """Deterministic raster tile ref from the unit's bbox center."""
+
+    def walk(coords, acc):
+        if isinstance(coords[0], (int, float)):
+            acc.append(coords[:2])
+        else:
+            for c in coords:
+                walk(c, acc)
+
+    obj = json.loads(geojson_unit)
+    geom = obj.get("geometry", obj) if obj.get("type") == "Feature" else obj
+    acc: list = []
+    if geom and geom.get("type") == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            if "coordinates" in g:
+                walk(g["coordinates"], acc)
+    elif geom and "coordinates" in geom and geom["coordinates"]:
+        walk(geom["coordinates"], acc)
+    if not acc:
+        return f"raster://{z}/0/0.png"
+    a = np.asarray(acc, dtype=np.float64)
+    lon = (a[:, 0].min() + a[:, 0].max()) / 2
+    lat = (a[:, 1].min() + a[:, 1].max()) / 2
+    px, py = K.project_xy(np.array([lon]), np.array([lat]))
+    n = 1 << z
+    tx = min(n - 1, max(0, int(math.floor(px[0] * n))))
+    ty = min(n - 1, max(0, int(math.floor(py[0] * n))))
+    return f"raster://{z}/{tx}/{ty}.png"
+
+
+def docs_rows_from_fixture(geojson_text: str, fixture: str) -> list[tuple]:
+    rows = []
+    for i, unit in enumerate(_feature_units(geojson_text)):
+        intro = f"doc {i} intro"
+        media = _bbox_center_tile(unit)
+        outro = "outro"
+        spans = []
+        off = 0
+        for kind, text, media_ref in (
+            ("text", intro, ""),
+            ("geojson", unit, ""),
+            ("media", "", media),
+            ("text", outro, ""),
+        ):
+            spans.append((kind, text, media_ref, off))
+            off += max(len(text), len(media_ref))
+        rows.append((f"{fixture}-{i:04d}", spans))
+    return rows
+
+
+def documents_from_fixture(
+    spark: SparkSession, geojson_text: str, fixture: str
+) -> DataFrame:
+    rows = docs_rows_from_fixture(geojson_text, fixture)
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def span_sequence_fingerprint(docs_df: DataFrame) -> DataFrame:
+    """Per-row fingerprint of the span sequence (kind, text, media_ref,
+    order) — compare input vs any carried-through output to assert the
+    per-row invariant."""
+    return docs_df.select(
+        "doc_id",
+        F.md5(
+            F.to_json(
+                F.transform(
+                    "spans",
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                    ),
+                )
+            )
+        ).alias("span_fp"),
+    )
+
+
+def replicate_documents(
+    docs_df: DataFrame, copies: int, lon_jitter_deg: float = 0.7
+) -> DataFrame:
+    """Deterministic scale-up: replicate each document ``copies`` times with
+    a per-copy longitude jitter applied to the embedded GeoJSON.
+
+    Used by the benchmark to grow the us-states geometry mix to arbitrary
+    row counts without external data. Jitter is a pure function of the copy
+    index (seeded, order-stable); geometry stays within [-180, 180).
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy_idx")
+    rep = docs_df.select("doc_id", "spans", idx)
+
+    @F.pandas_udf("string")
+    def jitter(text, copy_idx):
+        import pandas as pd
+
+        out = []
+        for t, c in zip(text, copy_idx):
+            try:
+                obj = json.loads(t)
+            except Exception:
+                out.append(t)
+                continue
+            dlon = ((int(c) * 73) % 360 - 180) * lon_jitter_deg / 180.0
+
+            def shift(coords):
+                if isinstance(coords[0], (int, float)):
+                    lon = coords[0] + dlon
+                    if lon >= 180.0:
+                        lon -= 360.0
+                    if lon < -180.0:
+                        lon += 360.0
+                    return [lon] + coords[1:]
+                return [shift(x) for x in coords]
+
+            def fix(g):
+                if g.get("type") == "GeometryCollection":
+                    for gg in g.get("geometries", []):
+                        fix(gg)
+                elif "coordinates" in g and g["coordinates"]:
+                    g["coordinates"] = shift(g["coordinates"])
+
+            geom = obj.get("geometry", obj) if obj.get("type") == "Feature" else obj
+            if geom:
+                fix(geom)
+            out.append(json.dumps(obj, separators=(",", ":")))
+        return pd.Series(out)
+
+    return rep.select(
+        F.concat_ws("-", "doc_id", F.format_string("%06d", "copy_idx")).alias("doc_id"),
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "geojson", jitter(s["text"], F.col("copy_idx")))
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
