@@ -1,0 +1,345 @@
+"""Spatial-join operators: point-in-polygon, kNN, raster<->vector overlay.
+
+North-rule operators with no reference implementation (the reference is a
+tiler; its only lookup is the tile-id hash probe, geojsonvt.hpp:117-150).
+Design:
+
+- **Candidates via the cell index** (functions/cells.py): polygons are
+  assigned an adaptive resolution (finest whose bbox cover stays small) and
+  exploded into covering cells with PURE column expressions
+  (``sequence``/``explode`` + Morton spread — JVM codegen, no Python);
+  points compute one cell per indexed resolution. The equi-join on
+  (res, cell) is an ordinary shuffle join Catalyst can reorder, broadcast
+  (``broadcast=True`` for small polygon sets) or AQE-skew-split.
+- **Exact ray-cast refinement** runs as one Arrow-batched kernel over the
+  candidate pairs, vectorized per polygon (even-odd rule over all rings, so
+  holes are handled).
+- **Skew**: pass ``salt > 1`` to replicate the polygon-cell build side and
+  scatter hot cells deterministically (hash of the point id), on top of AQE.
+- **kNN** adapts H3-style k-ring expansion to the batch model: a bounded
+  neighborhood join at a chosen resolution, a certification predicate
+  (kth-candidate distance < neighborhood safe radius), and a broadcast
+  brute-force pass for the (few) uncertified stragglers — every point gets
+  exact top-k, no iteration over the full data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geojson_vt_cpp_spark.functions import cells as C
+from geojson_vt_cpp_spark.operators import codec
+from geojson_vt_cpp_spark.operators.clip_stage import iter_rows
+
+DEFAULT_RESOLUTIONS = (4, 7, 10)
+
+
+def project_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """WGS84 -> unit Web-Mercator as native column expressions (P1,
+    convert.hpp:23-29) — stays in whole-stage codegen."""
+    import math
+
+    x = lon / 360.0 + 0.5
+    sine = F.sin(lat * math.pi / 180.0)
+    y = 0.5 - 0.25 * F.log((1.0 + sine) / (1.0 - sine)) / math.pi
+    y = F.least(F.greatest(y, F.lit(0.0)), F.lit(1.0))
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# polygon covering cells (native column expressions)
+# ---------------------------------------------------------------------------
+
+def _spread_sql(col: Column) -> Column:
+    return C.spread_bits(col)
+
+
+def polygon_cover_cells(
+    polys_df: DataFrame,
+    resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
+    max_cells: int = 32,
+) -> DataFrame:
+    """features-table polygons -> (poly columns..., res, cell) cover rows.
+
+    Adaptive resolution pick and bbox cover are pure column arithmetic;
+    the cover explode is ``explode(sequence(x0,x1)) x explode(sequence(
+    y0,y1))``. Conservative (bbox) cover — the exact ray-cast refines.
+    """
+    res_arr = sorted(resolutions, reverse=True)
+    # finest res whose bbox cover is <= max_cells
+    res_col = F.lit(min(resolutions))
+    for r in sorted(resolutions):  # end with finest that fits => build when-chain
+        n = 1 << r
+        cx = F.floor(F.col("maxx") * n) - F.floor(F.col("minx") * n) + 1
+        cy = F.floor(F.col("maxy") * n) - F.floor(F.col("miny") * n) + 1
+        res_col = F.when(cx * cy <= max_cells, F.lit(r)).otherwise(res_col)
+
+    df = polys_df.withColumn("res", res_col)
+    n_of = F.expr("shiftleft(1L, res)").cast("double")
+    cap = F.expr("shiftleft(1L, res)") - 1
+
+    def clamp(c):
+        return F.least(F.greatest(c.cast("long"), F.lit(0)), cap)
+
+    df = (
+        df.withColumn("cx0", clamp(F.floor(F.col("minx") * n_of)))
+        .withColumn("cx1", clamp(F.floor(F.col("maxx") * n_of)))
+        .withColumn("cy0", clamp(F.floor(F.col("miny") * n_of)))
+        .withColumn("cy1", clamp(F.floor(F.col("maxy") * n_of)))
+        .withColumn("ix", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("iy", F.explode(F.sequence("cy0", "cy1")))
+        .withColumn(
+            "cell",
+            _spread_sql(F.col("ix")).bitwiseOR(F.shiftleft(_spread_sql(F.col("iy")), 1)),
+        )
+        .drop("cx0", "cx1", "cy0", "cy1", "ix", "iy")
+    )
+    return df
+
+
+def point_cells(
+    points_df: DataFrame,
+    resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """points -> one row per indexed resolution with its cell id."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                C.cell_id(F.col(x_col), F.col(y_col), r).alias("cell"),
+            )
+            for r in resolutions
+        ]
+    )
+    return (
+        points_df.withColumn("rc", F.explode(pairs))
+        .withColumn("res", F.col("rc.res"))
+        .withColumn("cell", F.col("rc.cell"))
+        .drop("rc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact ray-cast (Arrow kernel)
+# ---------------------------------------------------------------------------
+
+def ray_cast_np(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd point-in-polygon for a batch of points vs one polygon.
+
+    rings: list of (n,2) float arrays (closing vertex optional — the test
+    wraps implicitly). Vectorized points x edges; holes fall out of the
+    even-odd rule.
+    """
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        if ring.shape[0] < 3:
+            continue
+        xi = ring[:, 0]
+        yi = ring[:, 1]
+        xj = np.roll(xi, 1)
+        yj = np.roll(yi, 1)
+        # (P, E) broadcasting
+        y_between = (yi[None, :] > py[:, None]) != (yj[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_cross = (xj - xi)[None, :] * (py[:, None] - yi[None, :]) / (
+                yj - yi
+            )[None, :] + xi[None, :]
+        crossings = y_between & (px[:, None] < x_cross)
+        inside ^= (crossings.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def point_in_polygon_join(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    point_cols: tuple[str, str, str] = ("point_id", "px", "py"),
+    resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
+    broadcast: bool = False,
+    salt: int = 1,
+) -> DataFrame:
+    """(point_id, px, py) x polygon features -> matched pairs.
+
+    Returns one row per (point, containing polygon) with the polygon's
+    identity columns (doc_id, span_idx, feature_idx, member_seq,
+    feature_id, props_json).
+    """
+    pid, xcol, ycol = point_cols
+    polys = polys_df.where(F.col("gtype").isin(3, 6))
+    id_cols = ["doc_id", "span_idx", "feature_idx", "member_seq", "feature_id", "props_json"]
+    geom_cols = ["gtype", "xs", "ys", "part_lens", "poly_lens"]
+    cover = polygon_cover_cells(polys.select(*id_cols, *geom_cols, "minx", "miny", "maxx", "maxy"), resolutions)
+
+    pts = point_cells(points_df.select(pid, xcol, ycol), resolutions, xcol, ycol)
+    if salt > 1:
+        cover = cover.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(F.col(pid)), F.lit(salt)))
+        keys = ["res", "cell", "salt"]
+    else:
+        keys = ["res", "cell"]
+
+    right = F.broadcast(cover) if broadcast else cover
+    cand = pts.join(right, keys, "inner").drop(*keys)
+
+    out_schema = ", ".join(
+        [f"{pid} string", f"{xcol} double", f"{ycol} double",
+         "doc_id string", "span_idx int", "feature_idx int", "member_seq int",
+         "feature_id string", "props_json string"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.iloc[0:0][[]]
+                continue
+            rows = []
+            # vectorize per polygon within the batch
+            for _, grp in pdf.groupby(["doc_id", "span_idx", "feature_idx", "member_seq"], sort=False):
+                first = grp.iloc[0]
+                xs = np.asarray(first["xs"], dtype=np.float64)
+                ys = np.asarray(first["ys"], dtype=np.float64)
+                part_lens = np.asarray(first["part_lens"], dtype=np.int64)
+                rings = []
+                off = 0
+                for n in part_lens:
+                    rings.append(np.stack([xs[off:off + n], ys[off:off + n]], axis=1))
+                    off += int(n)
+                px = grp[xcol].to_numpy(dtype=np.float64)
+                py = grp[ycol].to_numpy(dtype=np.float64)
+                hit = ray_cast_np(px, py, rings)
+                sel = grp.loc[hit, [pid, xcol, ycol, "doc_id", "span_idx",
+                                    "feature_idx", "member_seq", "feature_id",
+                                    "props_json"]]
+                if len(sel):
+                    rows.append(sel)
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    return cand.mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# kNN via bounded neighborhood join + certification + straggler fallback
+# ---------------------------------------------------------------------------
+
+def knn_join(
+    queries_df: DataFrame,
+    sites_df: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    ring: int = 1,
+    query_cols: tuple[str, str, str] = ("query_id", "qx", "qy"),
+    site_cols: tuple[str, str, str] = ("site_id", "sx", "sy"),
+) -> DataFrame:
+    """Exact k-nearest-sites per query (Euclidean in projected space).
+
+    Phase 1: join each query's (2*ring+1)^2 cell neighborhood at ``res``
+    against site cells; a query is CERTIFIED when it has >= k candidates and
+    its kth candidate distance < ring*cell_size (any site close enough to
+    beat the kth must then lie inside the joined neighborhood). Phase 2: uncertified
+    queries (typically a tiny fraction) join against ALL sites broadcast —
+    bounded, exact, no iteration.
+
+    Ties broken by (dist2, site_id) so results are deterministic.
+    """
+    qid, qx, qy = query_cols
+    sid, sx, sy = site_cols
+    n = 1 << res
+    cell_size = 1.0 / n
+
+    qcell = queries_df.select(
+        qid, qx, qy,
+        F.least(F.greatest(F.floor(F.col(qx) * n).cast("long"), F.lit(0)), F.lit(n - 1)).alias("qix"),
+        F.least(F.greatest(F.floor(F.col(qy) * n).cast("long"), F.lit(0)), F.lit(n - 1)).alias("qiy"),
+    )
+    offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    nbr = qcell.withColumn(
+        "nbr",
+        F.explode(F.array(*[
+            F.struct(
+                (F.col("qix") + dx).alias("ix"),
+                (F.col("qiy") + dy).alias("iy"),
+            )
+            for dx, dy in offs
+        ])),
+    ).select(
+        qid, qx, qy,
+        F.col("nbr.ix").alias("ix"), F.col("nbr.iy").alias("iy"),
+    ).where(
+        (F.col("ix") >= 0) & (F.col("ix") < n) & (F.col("iy") >= 0) & (F.col("iy") < n)
+    )
+
+    scell = sites_df.select(
+        sid, sx, sy,
+        F.least(F.greatest(F.floor(F.col(sx) * n).cast("long"), F.lit(0)), F.lit(n - 1)).alias("ix"),
+        F.least(F.greatest(F.floor(F.col(sy) * n).cast("long"), F.lit(0)), F.lit(n - 1)).alias("iy"),
+    )
+
+    d2 = (F.col(qx) - F.col(sx)) ** 2 + (F.col(qy) - F.col(sy)) ** 2
+    cand = (
+        nbr.join(scell, ["ix", "iy"], "inner")
+        .select(qid, qx, qy, sid, d2.alias("dist2"))
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(sid).asc())
+    ranked = cand.withColumn("knn_rank", F.row_number().over(w)).where(
+        F.col("knn_rank") <= k
+    )
+    safe2 = (ring * cell_size) ** 2
+    cert = ranked.groupBy(qid).agg(
+        F.count("*").alias("n_cand"), F.max("dist2").alias("kth_d2")
+    ).withColumn(
+        "certified", (F.col("n_cand") >= k) & (F.col("kth_d2") < safe2)
+    )
+    good = ranked.join(cert.where("certified").select(qid), qid, "inner")
+
+    # stragglers: brute force against broadcast sites (exact fallback)
+    bad_q = queries_df.join(
+        cert.where(~F.col("certified")).select(qid), qid, "inner"
+    ).unionByName(
+        queries_df.join(cert.select(qid), qid, "left_anti")  # zero candidates
+    )
+    brute = (
+        bad_q.crossJoin(F.broadcast(sites_df.select(sid, sx, sy)))
+        .select(qid, qx, qy, sid, d2.alias("dist2"))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+    return good.unionByName(brute)
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector overlay
+# ---------------------------------------------------------------------------
+
+def raster_tiles_from_documents(docs_df: DataFrame) -> DataFrame:
+    """media spans ('raster://{z}/{x}/{y}.png') -> raster tile table."""
+    spans = docs_df.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    m = spans.where(F.col("span.kind") == "media").select(
+        "doc_id",
+        "span_idx",
+        F.col("span.media_ref").alias("media_ref"),
+        F.regexp_extract("span.media_ref", r"raster://(\d+)/(\d+)/(\d+)", 1).cast("int").alias("z"),
+        F.regexp_extract("span.media_ref", r"raster://(\d+)/(\d+)/(\d+)", 2).cast("long").alias("tx"),
+        F.regexp_extract("span.media_ref", r"raster://(\d+)/(\d+)/(\d+)", 3).cast("long").alias("ty"),
+    )
+    return m.where(F.col("media_ref") != "")
+
+
+def raster_vector_overlay(raster_df: DataFrame, tile_features_df: DataFrame) -> DataFrame:
+    """Equi-join raster tiles to vector tile features on the pyramid address
+    (tile-id codec Q2, geojsonvt.hpp:66-68) — a plain broadcast/shuffle join
+    Catalyst plans freely."""
+    return raster_df.alias("r").join(
+        tile_features_df.alias("t"), ["z", "tx", "ty"], "inner"
+    )

@@ -1,0 +1,149 @@
+"""Spatial-join operators vs in-memory brute-force oracles (FIXTURES.md §4):
+point-in-polygon over the us-states polygons, kNN vs exhaustive sort,
+raster<->vector overlay vs direct equi-join, cell-id codec roundtrips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geojson_vt_cpp_spark.config import Options
+from geojson_vt_cpp_spark.functions import cells as C
+from geojson_vt_cpp_spark.operators.convert import extract_features
+from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
+from geojson_vt_cpp_spark.operators.spatial_join import (
+    knn_join,
+    point_in_polygon_join,
+    raster_tiles_from_documents,
+    raster_vector_overlay,
+    ray_cast_np,
+)
+from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+
+from .golden_utils import load_fixture
+
+pytestmark = pytest.mark.spark
+
+
+def _unit_points(n: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    # concentrate around the US extent so polygons actually get hits
+    pts = rng.uniform([0.15, 0.25], [0.35, 0.45], size=(n, 2))
+    return pts
+
+
+def test_cell_id_np_sql_roundtrip(spark):
+    pts = _unit_points(500)
+    for res in (4, 7, 10):
+        want = C.cell_id_np(pts[:, 0], pts[:, 1], res)
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pts], "px double, py double"
+        )
+        got = np.array(
+            [r[0] for r in df.select(C.cell_id(df.px, df.py, res)).collect()]
+        )
+        np.testing.assert_array_equal(np.sort(want), np.sort(got))
+        # inverse
+        ix, iy = C.cell_xy_np(want, res)
+        n = 1 << res
+        np.testing.assert_array_equal(ix, np.clip(np.floor(pts[:, 0] * n), 0, n - 1))
+        np.testing.assert_array_equal(iy, np.clip(np.floor(pts[:, 1] * n), 0, n - 1))
+
+
+def test_cell_id_sql_duckdb_matches_spark(spark):
+    import duckdb
+
+    pts = _unit_points(300, seed=7)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "px double, py double"
+    )
+    for res in (4, 7, 10):
+        s_expr = C.cell_id_sql("px", "py", res, "spark")
+        d_expr = C.cell_id_sql("px", "py", res, "duckdb")
+        got_s = sorted(r[0] for r in df.selectExpr(f"{s_expr} as c").collect())
+        con = duckdb.connect()
+        con.register("pts", __import__("pandas").DataFrame(pts, columns=["px", "py"]))
+        got_d = sorted(r[0] for r in con.execute(f"select {d_expr} as c from pts").fetchall())
+        assert got_s == got_d
+
+
+@pytest.fixture(scope="module")
+def us_polys(spark):
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    feats = extract_features(docs, 1e-9)  # negligible tolerance: raw shapes
+    return feats.cache()
+
+
+def _brute_pip(pts, feats_rows):
+    """numpy oracle: point -> set of (doc_id) containing it."""
+    out = {i: set() for i in range(len(pts))}
+    for r in feats_rows:
+        xs = np.asarray(r["xs"])
+        ys = np.asarray(r["ys"])
+        rings = []
+        off = 0
+        for n in r["part_lens"]:
+            rings.append(np.stack([xs[off:off + n], ys[off:off + n]], axis=1))
+            off += n
+        hit = ray_cast_np(pts[:, 0], pts[:, 1], rings)
+        for i in np.nonzero(hit)[0]:
+            out[int(i)].add(r["doc_id"])
+    return out
+
+
+@pytest.mark.parametrize("broadcast,salt", [(False, 1), (True, 1), (False, 4)])
+def test_point_in_polygon_vs_brute_force(spark, us_polys, broadcast, salt):
+    pts = _unit_points(2000)
+    pdf = spark.createDataFrame(
+        [(f"p{i:05d}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id string, px double, py double",
+    )
+    got = point_in_polygon_join(pdf, us_polys, broadcast=broadcast, salt=salt)
+    got_pairs = {(r["point_id"], r["doc_id"]) for r in got.collect()}
+    oracle = _brute_pip(pts, us_polys.where("gtype in (3,6)").collect())
+    want_pairs = {
+        (f"p{i:05d}", d) for i, ds in oracle.items() for d in ds
+    }
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 200  # the sample really lands inside states
+
+
+def test_knn_vs_exhaustive(spark):
+    rng = np.random.RandomState(1)
+    queries = rng.uniform(0.2, 0.8, size=(300, 2))
+    sites = rng.uniform(0.2, 0.8, size=(150, 2))
+    qdf = spark.createDataFrame(
+        [(f"q{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(queries)],
+        "query_id string, qx double, qy double",
+    )
+    sdf = spark.createDataFrame(
+        [(f"s{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(sites)],
+        "site_id string, sx double, sy double",
+    )
+    got = knn_join(qdf, sdf, k=5, res=5, ring=1)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["knn_rank"], r["site_id"], r["dist2"]))
+    # oracle
+    d2 = ((queries[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(queries)):
+        order = sorted(range(len(sites)), key=lambda j: (d2[i, j], f"s{j:04d}"))[:5]
+        want = [f"s{j:04d}" for j in order]
+        gotl = [s for _, s, _ in sorted(by_q[f"q{i:04d}"])]
+        assert gotl == want, f"query {i}: {gotl} != {want}"
+
+
+def test_raster_vector_overlay(spark):
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    pyr = TilePyramid.from_documents(docs, Options(index_max_zoom=7, index_max_points=200, max_zoom=14))
+    rast = raster_tiles_from_documents(docs)
+    tf = pyr.tile_features()
+    got = raster_vector_overlay(rast, tf)
+    # oracle: plain equi-join row count computed independently
+    want = (
+        rast.join(tf, ["z", "tx", "ty"]).count()
+    )
+    assert got.count() == want
+    assert want > 0
+    pyr.close()
