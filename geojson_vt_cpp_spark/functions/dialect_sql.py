@@ -1,0 +1,322 @@
+"""Dual-dialect SQL templates: each query renders to Spark SQL (executed by
+the engine via ``spark.sql`` — fully Catalyst-planned) and to DuckDB SQL (the
+independent correctness oracle). One template per query guarantees formula
+identity; the only dialect differences are hex->bigint casts, lateral
+explode syntax, and list indexing.
+
+Cross-engine determinism rules used throughout:
+
+- integer/string outputs wherever possible;
+- float aggregates go through exact DECIMAL sums, cast back to double;
+- portable 60-bit hash = first 15 hex chars of md5 (verified bit-identical:
+  Spark ``conv(substring(md5(s),1,15),16,10)`` == DuckDB
+  ``('0x'||substr(md5(s),1,15))::BIGINT``);
+- synthetic geometry/points are pure integer arithmetic over table keys
+  (no transcendentals — libm differs across engines);
+- unavoidable float math (cosine) is rounded to 6 dp with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from geojson_vt_cpp_spark.functions.cells import cell_id_sql
+
+MAX_DOC_CHARS = 4096  # documents.n_chars upper bound for DuckDB series
+
+
+def hexhash(s: str, dialect: str) -> str:
+    """Portable 60-bit hash of a string expression."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({s}),1,15),16,10) as bigint)"
+    return f"(('0x' || substr(md5({s}),1,15))::BIGINT)"
+
+
+def to_str(e: str, dialect: str) -> str:
+    return f"cast({e} as string)" if dialect == "spark" else f"cast({e} as varchar)"
+
+
+def occurrences(text: str, marker: str, dialect: str) -> str:
+    """Occurrence count via the replace-length identity (no regex — regex
+    semantics diverge across engines)."""
+    return (
+        f"cast((length({text}) - length(replace({text}, '{marker}', '')))"
+        f" / {len(marker)} as int)"
+    )
+
+
+# synthetic unit-square points from integer keys (exact in both engines)
+def synth_px(key: str) -> str:
+    # cast-to-double divisor: Spark parses a bare `99991.0` literal as
+    # DECIMAL and the whole expression tree silently goes decimal
+    return f"((({key}) * 2654435761) % 99991) / cast(99991 as double)"
+
+
+def synth_py(key: str) -> str:
+    return f"((({key}) * 2246822519) % 99989) / cast(99989 as double)"
+
+
+def _shingles_from(dialect: str, table: str = "documents", n: int = 8) -> str:
+    """FROM clause producing (doc_id, shingle) char n-grams."""
+    if dialect == "spark":
+        return (
+            f"from {table} lateral view explode(sequence(1, greatest(length(text)-{n-1},1))) t as i"
+        )
+    return (
+        f"from {table} cross join generate_series(1, {MAX_DOC_CHARS}) as g(i) "
+        f"where g.i <= greatest(length(text)-{n-1}, 1)"
+    )
+
+
+def _words_from(dialect: str, table: str = "documents") -> str:
+    if dialect == "spark":
+        return f"from {table} lateral view explode(split(text, ' ')) t as w"
+    return f"from (select doc_id, unnest(string_split(text, ' ')) as w from {table})"
+
+
+def _bits_join(dialect: str, lo: int, hi: int, alias: str = "b") -> str:
+    if dialect == "spark":
+        return f"lateral view explode(sequence({lo}, {hi})) bt as {alias}"
+    return f"cross join generate_series({lo}, {hi}) as bt({alias})"
+
+
+def _vec_elems(dialect: str, table: str = "embeddings") -> str:
+    """(vec_id, i 1-based, x double) from the embeddings list column."""
+    if dialect == "spark":
+        return (
+            f"select vec_id, pos + 1 as i, cast(col as double) as x "
+            f"from {table} lateral view posexplode(embedding) as pos, col"
+        )
+    return (
+        f"select vec_id, g.i as i, cast(embedding[g.i] as double) as x "
+        f"from {table} cross join generate_series(1, 64) as g(i)"
+    )
+
+
+def queries_sql(dialect: str) -> dict[str, str]:
+    """All dual-dialect queries, keyed like __spark_entry__.queries()."""
+    d = dialect
+    hh = lambda s: hexhash(s, d)
+    ts = lambda e: to_str(e, d)
+    q: dict[str, str] = {}
+
+    # ---- relational anchors -------------------------------------------------
+    q["rel_lineitem_pricing"] = f"""
+        select l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(20,2))) as double) as sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(20,2))) as double) as sum_base_price,
+               cast(sum(cast(l_extendedprice as decimal(20,2)) * cast(1 - l_discount as decimal(20,2))) as double) as sum_disc_price,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '1998-09-01 00:00:00'
+        group by l_returnflag, l_linestatus
+    """
+
+    q["rel_top_customer_revenue"] = f"""
+        select c.c_custkey, c.c_name,
+               cast(sum(cast(o.o_totalprice as decimal(20,2))) as double) as revenue,
+               count(*) as n_orders
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by c.c_custkey, c.c_name
+        having count(*) >= 12
+    """
+
+    q["rel_events_hourly"] = f"""
+        select event_type,
+               {"date_format(ts, 'yyyy-MM-dd HH')" if d == 'spark' else "strftime(ts, '%Y-%m-%d %H')"} as hour_bucket,
+               count(*) as n_events,
+               cast(sum(cast(value as decimal(20,4))) as double) as sum_value
+        from events
+        group by 1, 2
+        having count(*) > 2
+    """
+
+    # ---- geo: cell index / tile codec over synthetic points ----------------
+    px, py = synth_px("c_custkey"), synth_py("c_custkey")
+    cells = ", ".join(
+        f"{cell_id_sql(px, py, r, d)} as cell_r{r}" for r in (4, 7, 10)
+    )
+    q["geo_cells_multires"] = f"""
+        select c_custkey as point_id, {cells}
+        from customer
+    """
+
+    q["geo_cell_prefix_stats"] = f"""
+        with pts as (select c_custkey, {cell_id_sql(px, py, 10, d)} as cell from customer)
+        select cast(floor(cell / 4096.0) as bigint) as prefix_r4, count(*) as n_points,
+               min(cell) as min_cell, max(cell) as max_cell
+        from pts group by 1
+    """
+
+    z = 7
+    n = 1 << z
+    q["geo_tile_codec"] = f"""
+        with pts as (
+          select c_custkey,
+                 cast(least(greatest(floor(({px}) * {n}), 0), {n - 1}) as bigint) as tx,
+                 cast(least(greatest(floor(({py}) * {n}), 0), {n - 1}) as bigint) as ty
+          from customer)
+        select tx, ty, (({n} * ty + tx) * 32) + {z} as tile_id, count(*) as n_points
+        from pts group by tx, ty
+    """
+
+    # ---- dedup --------------------------------------------------------------
+    q["dedup_exact"] = f"""
+        select doc_id, md5(text) as text_hash,
+               count(*) over (partition by md5(text)) as n_copies
+        from documents
+    """
+
+    sig_cte = f"""
+        with shingles as (
+          select doc_id, substr(text, i, 8) as s {_shingles_from(d)}
+        ),
+        sig as (
+          select doc_id,
+                 min({hh("concat('0', s)")}) as mh0,
+                 min({hh("concat('1', s)")}) as mh1,
+                 min({hh("concat('2', s)")}) as mh2,
+                 min({hh("concat('3', s)")}) as mh3
+          from shingles group by doc_id
+        )
+    """
+    q["dedup_minhash_signatures"] = sig_cte + "select doc_id, mh0, mh1, mh2, mh3 from sig"
+
+    q["dedup_minhash_pairs"] = sig_cte + f"""
+        , pairs as (
+          select a.doc_id as doc_a, b.doc_id as doc_b
+          from sig a join sig b on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.doc_id < b.doc_id
+          union
+          select a.doc_id, b.doc_id
+          from sig a join sig b on a.mh2 = b.mh2 and a.mh3 = b.mh3 and a.doc_id < b.doc_id
+        )
+        select doc_a, doc_b from pairs
+    """
+
+    q["dedup_simhash"] = f"""
+        with words as (select doc_id, w {_words_from(d)}),
+        wh as (select doc_id, {hh('w')} as h from words),
+        bits as (
+          select doc_id, bt.b,
+                 sum(case when (h >> bt.b) & 1 = 1 then 1 else -1 end) as vote
+          from wh {_bits_join(d, 0, 15)}
+          group by doc_id, bt.b
+        )
+        select doc_id,
+               cast(sum(case when vote > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash16
+        from bits group by doc_id
+    """
+
+    q["dedup_ngram_jaccard"] = f"""
+        with grams as (
+          select distinct doc_id, substr(text, i, 4) as g {_shingles_from(d, n=4)}
+        ),
+        sizes as (select doc_id, count(*) as n from grams group by doc_id),
+        pairs as (select a.doc_id as doc_a, a.doc_id + 250 as doc_b from documents a where a.doc_id < 250),
+        inter as (
+          select p.doc_a, p.doc_b, count(*) as n_inter
+          from pairs p
+          join grams ga on ga.doc_id = p.doc_a
+          join grams gb on gb.doc_id = p.doc_b and gb.g = ga.g
+          group by p.doc_a, p.doc_b
+        )
+        select i.doc_a, i.doc_b, i.n_inter, sa.n as n_a, sb.n as n_b,
+               round(cast(i.n_inter as double) / (sa.n + sb.n - i.n_inter), 6) as jaccard
+        from inter i
+        join sizes sa on sa.doc_id = i.doc_a
+        join sizes sb on sb.doc_id = i.doc_b
+    """
+
+    # ---- text analysis -------------------------------------------------------
+    markers = [("en", " the "), ("de", " der "), ("fr", " le "), ("es", " el "), ("zh", " zh ")]
+    mcols = ", ".join(
+        f"{occurrences('text', m, d)} as c_{lang}" for lang, m in markers
+    )
+    q["text_lang_id"] = f"""
+        with scores as (select doc_id, lang as labeled_lang, {mcols} from documents)
+        select doc_id, labeled_lang,
+               case greatest(c_en, c_de, c_fr, c_es, c_zh)
+                 when c_en then 'en' when c_de then 'de' when c_fr then 'fr'
+                 when c_es then 'es' else 'zh' end as guessed_lang,
+               c_en, c_de, c_fr, c_es, c_zh
+        from scores
+    """
+
+    n_tok = occurrences("text", " ", d)
+    q["text_quality_score"] = f"""
+        select doc_id,
+               length(text) as n_chars_actual,
+               {n_tok} + 1 as n_tokens,
+               round(cast(length(text) as double) / ({n_tok} + 1), 4) as mean_token_len,
+               {occurrences('text', 'the', d)} as n_stopword,
+               round(({n_tok} + 1) / cast(1000 as double)
+                     + least(cast({occurrences('text', 'the', d)} as double) / ({n_tok} + 1), 0.5), 6)
+                 as quality_score
+        from documents
+    """
+
+    q["text_token_stats"] = f"""
+        with words as (select doc_id, w {_words_from(d)})
+        select doc_id, count(*) as n_tokens, count(distinct w) as n_distinct,
+               min(length(w)) as min_len, max(length(w)) as max_len
+        from words group by doc_id
+    """
+
+    q["text_fingerprint"] = f"""
+        select doc_id,
+               md5(lower(replace(text, ' ', ''))) as fingerprint,
+               {hh("lower(replace(text, ' ', ''))")} as fingerprint60
+        from documents
+    """
+
+    # ---- similarity over embeddings -----------------------------------------
+    elems = _vec_elems(d)
+    q["sim_cosine_topk"] = f"""
+        with e as ({elems}),
+        qv as (select i, x as qx from e where vec_id = 0),
+        dots as (
+          select e.vec_id,
+                 sum(e.x * qv.qx) as dot,
+                 sum(e.x * e.x) as nx,
+                 sum(qv.qx * qv.qx) as nq
+          from e join qv on e.i = qv.i
+          group by e.vec_id
+        ),
+        cos as (
+          select vec_id, round(dot / (sqrt(nx) * sqrt(nq)), 6) as cosine
+          from dots where vec_id <> 0
+        ),
+        ranked as (
+          select vec_id, cosine,
+                 row_number() over (order by cosine desc, vec_id asc) as sim_rank
+          from cos
+        )
+        select vec_id, cosine, sim_rank from ranked where sim_rank <= 10
+    """
+
+    # random-hyperplane LSH: h_j[i] deterministic pseudo-random from (j, i)
+    plane = "(((bt.b * 73856093 + e.i * 19349663) % 1000003) / cast(1000003 as double) - cast(0.5 as double))"
+    q["sim_lsh_buckets"] = f"""
+        with e as ({elems}),
+        proj as (
+          select e.vec_id, bt.b, sum(e.x * {plane}) as dot
+          from e {_bits_join(d, 0, 7)}
+          group by e.vec_id, bt.b
+        )
+        select vec_id,
+               cast(sum(case when dot > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as lsh_bucket
+        from proj group by vec_id
+    """
+
+    # ---- multimodal metadata (decode itself is stubbed; see multimodal.py) --
+    doc_str = ts("doc_id")
+    w_expr = f"({hh(f'concat(~w-~, {doc_str})')} % 1920) + 1".replace("~", "'")
+    h_expr = f"({hh(f'concat(~h-~, {doc_str})')} % 1080) + 1".replace("~", "'")
+    q["mm_media_meta"] = f"""
+        select doc_id,
+               substr(md5(concat('media-', {doc_str})), 1, 8) as media_magic,
+               {w_expr} as width,
+               {h_expr} as height,
+               ({w_expr}) * ({h_expr}) * 3 as n_bytes_rgb
+        from documents
+    """
+
+    return {k: " ".join(v.split()) for k, v in q.items()}

@@ -189,8 +189,9 @@ def point_in_polygon_join(
     right = F.broadcast(cover) if broadcast else cover
     cand = pts.join(right, keys, "inner").drop(*keys)
 
+    pid_type = points_df.schema[pid].dataType.simpleString()
     out_schema = ", ".join(
-        [f"{pid} string", f"{xcol} double", f"{ycol} double",
+        [f"{pid} {pid_type}", f"{xcol} double", f"{ycol} double",
          "doc_id string", "span_idx int", "feature_idx int", "member_seq int",
          "feature_id string", "props_json string"]
     )
@@ -283,7 +284,11 @@ def knn_join(
         F.least(F.greatest(F.floor(F.col(sy) * n).cast("long"), F.lit(0)), F.lit(n - 1)).alias("iy"),
     )
 
-    d2 = (F.col(qx) - F.col(sx)) ** 2 + (F.col(qy) - F.col(sy)) ** 2
+    # plain products, not pow(x,2): pow goes through libm and is not
+    # guaranteed bit-identical to x*x, which the cross-engine oracle needs
+    d2 = (F.col(qx) - F.col(sx)) * (F.col(qx) - F.col(sx)) + (
+        F.col(qy) - F.col(sy)
+    ) * (F.col(qy) - F.col(sy))
     cand = (
         nbr.join(scell, ["ix", "iy"], "inner")
         .select(qid, qx, qy, sid, d2.alias("dist2"))
