@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline metric (BASELINE.md): tiles+join-rows/sec over the full pipeline on
+a synthetic interleaved-documents corpus (us-states geometry mix replicated
+deterministically to scale), plus the spatial joins and a text-dedup pass on
+the driver's documents table.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python3 bench.py
+
+``--scaling`` additionally runs the same workload at local[N] and local[4N]
+on the SAME input and reports throughput at both plus the efficiency
+(T_4N / T_N) / 4 — the sandbox evidence for the north rule's two-cluster-size
+criterion (no real cluster here; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"gvt-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_workload(spark, sf_dir: str, cpus: int) -> dict:
+    """Returns per-query seconds + produced row counts."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from geojson_vt_cpp_spark.config import Options
+    from geojson_vt_cpp_spark.functions import dialect_sql as D
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+    from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
+    from geojson_vt_cpp_spark.operators.spatial_join import (
+        knn_join, point_in_polygon_join,
+    )
+    from geojson_vt_cpp_spark.sources.documents import (
+        documents_from_fixture, replicate_documents,
+    )
+
+    sf = _sf_of(sf_dir)
+    copies = max(2, int(round(2000 * sf)))  # sf0.1 -> 200 copies = 10,400 docs
+    E._register_views(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    base_docs = documents_from_fixture(spark, E._fixture_text(), "us-states")
+    docs = replicate_documents(base_docs, copies).repartition(cpus * 2).cache()
+    docs.count()  # materialize the corpus outside the timed sections
+
+    # 1. full pyramid build: span extract -> convert -> wrap -> BFS split ->
+    #    quantize; counts ALL emitted tile features
+    pyr_box = {}
+
+    def q_pyramid():
+        pyr = TilePyramid.from_documents(
+            docs, Options(index_max_zoom=5, index_max_points=50_000, max_zoom=14)
+        )
+        n = pyr.tile_features().count()
+        pyr_box["pyr"] = pyr
+        return n
+
+    timed("pyramid_build", q_pyramid)
+
+    # 2. point-in-polygon join: sf customer points vs the replicated polygons
+    feats = extract_features(docs, (3.0 / 4096.0) / (1 << 14)).cache()
+    points = spark.sql(
+        f"select c_custkey as point_id, {D.synth_px('c_custkey')} as px, "
+        f"{D.synth_py('c_custkey')} as py from customer"
+    )
+    timed("pip_join", lambda: point_in_polygon_join(points, feats, salt=4).count())
+
+    # 3. kNN: customer points vs supplier sites
+    sites = spark.sql(
+        f"select s_suppkey as site_id, {D.synth_px('s_suppkey')} as sx, "
+        f"{D.synth_py('s_suppkey')} as sy from supplier"
+    )
+    timed("knn_join", lambda: knn_join(
+        points, sites, k=5, res=6, ring=1,
+        query_cols=("point_id", "px", "py"), site_cols=("site_id", "sx", "sy"),
+    ).count())
+
+    # 4. text dedup (minhash signatures) on the driver documents table
+    timed("dedup_minhash", lambda: spark.sql(
+        D.queries_sql("spark")["dedup_minhash_signatures"]
+    ).count())
+
+    # 5. one-shot tile slice
+    from geojson_vt_cpp_spark.operators.tile_one_shot import geojson_to_tile_df
+
+    timed("one_shot_tile", lambda: geojson_to_tile_df(
+        base_docs, 12, 1171, 1566, wrap=False, clip=True
+    ).count())
+
+    if "pyr" in pyr_box:
+        pyr_box["pyr"].close()
+    docs.unpersist()
+    feats.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    produced = counts["pyramid_build"] + counts["pip_join"] + counts["knn_join"]
+    return {
+        "timings": timings,
+        "counts": counts,
+        "total_sec": total,
+        "tiles_join_rows": produced,
+        "rows_per_sec": round(produced / total, 1) if total else 0.0,
+        "copies": copies,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+
+    results = {}
+    if scaling:
+        levels = [max(2, cpus // 4), cpus]
+    else:
+        levels = [cpus]
+
+    for n in levels:
+        spark = _make_spark(n)
+        try:
+            results[n] = run_workload(spark, sf_dir, n)
+        finally:
+            spark.stop()
+
+    r = results[levels[-1]]
+    out = {
+        "metric": "tiles+join-rows/sec (pyramid+PIP+kNN over interleaved docs)",
+        "value": r["total_sec"],
+        "unit": "sec",
+        "queries": r["timings"],
+        "sf": _sf_of(sf_dir),
+        "cpus": levels[-1],
+        "tiles_join_rows": r["tiles_join_rows"],
+        "rows_per_sec": r["rows_per_sec"],
+        "counts": r["counts"],
+    }
+    if scaling and len(levels) == 2:
+        lo, hi = levels
+        tlo = results[lo]["rows_per_sec"]
+        thi = results[hi]["rows_per_sec"]
+        out["scaling"] = {
+            f"rows_per_sec@local[{lo}]": tlo,
+            f"rows_per_sec@local[{hi}]": thi,
+            "speedup": round(thi / tlo, 3) if tlo else None,
+            "efficiency": round((thi / tlo) / (hi / lo), 3) if tlo else None,
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

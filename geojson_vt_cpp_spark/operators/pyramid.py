@@ -159,6 +159,13 @@ class TilePyramid:
         self._tile_features: DataFrame | None = None
         self._tile_cache: dict[tuple[int, int, int], Tile] = {}
 
+        # materialize-and-truncate the convert output once: wrap alone
+        # references it 4x (one agg + three clip passes), and the BFS adds a
+        # level of plan depth per zoom — localCheckpoint keeps each level's
+        # plan shallow (local mode; the workdir/TableIO path uses reliable
+        # parquet checkpoints instead at cluster scale)
+        self._n_parts = max(features_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+        features_df = features_df.localCheckpoint()
         feats = wrap_features(
             features_df, self.o.buffer / self.o.extent, self.o.line_metrics
         )
@@ -198,7 +205,7 @@ class TilePyramid:
         visit = {(0, 0)}
         z = 0
         while True:
-            assigned = assigned.persist()
+            assigned = assigned.coalesce(self._n_parts).localCheckpoint()
             self._level_assigned[z] = assigned
             stats = {
                 (r["tx"], r["ty"]): (r["npts"], r["nrows"])
@@ -233,10 +240,11 @@ class TilePyramid:
         if len(tiles) == 1:
             x, y = tiles[0]
             return df.where((F.col("tx") == x) & (F.col("ty") == y))
-        cond = F.struct("tx", "ty").isin(
-            [F.struct(F.lit(x).cast("long"), F.lit(y).cast("long")) for x, y in tiles]
-        )
-        return df.where(cond)
+        # packed-int membership: Catalyst turns a literal-int isin into an
+        # InSet hash probe; a struct-literal isin would instead analyze and
+        # evaluate a huge OR tree per row (dominant cost at deep levels)
+        packed = F.shiftleft(F.col("tx"), 32) + F.col("ty")
+        return df.where(packed.isin([(x << 32) + y for x, y in tiles]))
 
     # ------------------------------------------------------------ drill-down
 
@@ -284,7 +292,7 @@ class TilePyramid:
             m = 1 << (cz - z)
             if x != cx // m or y != cy // m:
                 return
-            children = split_children(df, o.buffer, o.extent, o.line_metrics).persist()
+            children = split_children(df, o.buffer, o.extent, o.line_metrics).localCheckpoint()
             self._extra_assigned.append(children)
             self._tile_features = None  # invalidate union cache
             cstats = {
@@ -407,7 +415,5 @@ class TilePyramid:
         return out
 
     def close(self) -> None:
-        for df in list(self._level_assigned.values()) + self._extra_assigned:
-            df.unpersist()
         if self._tile_features is not None:
             self._tile_features.unpersist()

@@ -172,9 +172,18 @@ def point_in_polygon_join(
     """
     pid, xcol, ycol = point_cols
     polys = polys_df.where(F.col("gtype").isin(3, 6))
-    id_cols = ["doc_id", "span_idx", "feature_idx", "member_seq", "feature_id", "props_json"]
-    geom_cols = ["gtype", "xs", "ys", "part_lens", "poly_lens"]
-    cover = polygon_cover_cells(polys.select(*id_cols, *geom_cols, "minx", "miny", "maxx", "maxy"), resolutions)
+    id_cols = ["doc_id", "span_idx", "feature_idx", "member_seq"]
+    attr_cols = ["feature_id", "props_json"]
+    geom_cols = ["xs", "ys", "part_lens"]
+
+    # cover rows carry ONLY identity + (res, cell[, salt]) — geometry never
+    # rides the (cells x salt)-exploded build side
+    # fresh aliases (p_*) give the cover side new expression ids, so the
+    # downstream cogroup with `polys` is not an ambiguous self-join
+    cover = polygon_cover_cells(
+        polys.select(*id_cols, "minx", "miny", "maxx", "maxy"), resolutions
+    ).select(*[F.col(c).alias(f"p_{c}") for c in id_cols], "res", "cell")
+    cand_id_cols = [f"p_{c}" for c in id_cols]
 
     pts = point_cells(points_df.select(pid, xcol, ycol), resolutions, xcol, ycol)
     if salt > 1:
@@ -195,36 +204,94 @@ def point_in_polygon_join(
          "doc_id string", "span_idx int", "feature_idx int", "member_seq int",
          "feature_id string", "props_json string"]
     )
+    out_cols = [pid, xcol, ycol] + id_cols + attr_cols
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf.iloc[0:0][[]]
-                continue
-            rows = []
-            # vectorize per polygon within the batch
-            for _, grp in pdf.groupby(["doc_id", "span_idx", "feature_idx", "member_seq"], sort=False):
-                first = grp.iloc[0]
-                xs = np.asarray(first["xs"], dtype=np.float64)
-                ys = np.asarray(first["ys"], dtype=np.float64)
-                part_lens = np.asarray(first["part_lens"], dtype=np.int64)
-                rings = []
-                off = 0
-                for n in part_lens:
-                    rings.append(np.stack([xs[off:off + n], ys[off:off + n]], axis=1))
-                    off += int(n)
-                px = grp[xcol].to_numpy(dtype=np.float64)
-                py = grp[ycol].to_numpy(dtype=np.float64)
-                hit = ray_cast_np(px, py, rings)
-                sel = grp.loc[hit, [pid, xcol, ycol, "doc_id", "span_idx",
-                                    "feature_idx", "member_seq", "feature_id",
-                                    "props_json"]]
-                if len(sel):
-                    rows.append(sel)
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
+    def rings_of(row) -> list[np.ndarray]:
+        xs = np.asarray(row["xs"], dtype=np.float64)
+        ys = np.asarray(row["ys"], dtype=np.float64)
+        rings = []
+        off = 0
+        for n in np.asarray(row["part_lens"], dtype=np.int64):
+            rings.append(np.stack([xs[off:off + n], ys[off:off + n]], axis=1))
+            off += int(n)
+        return rings
 
-    return cand.mapInPandas(kernel, out_schema)
+    if broadcast:
+        # geometry as a broadcast dict; the refinement is a pure narrow
+        # mapInPandas over the candidate rows — zero shuffles end to end
+        geo_rows = polys.select(*id_cols, *attr_cols, *geom_cols).collect()
+        bc = points_df.sparkSession.sparkContext.broadcast(
+            {
+                (r["doc_id"], r["span_idx"], r["feature_idx"], r["member_seq"]): (
+                    np.asarray(r["xs"]), np.asarray(r["ys"]),
+                    np.asarray(r["part_lens"], dtype=np.int64),
+                    r["feature_id"], r["props_json"],
+                )
+                for r in geo_rows
+            }
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            geo = bc.value
+            ring_cache: dict = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rows = []
+                for key, grp in pdf.groupby(cand_id_cols, sort=False):
+                    entry = geo.get(key)
+                    if entry is None:
+                        continue
+                    rings = ring_cache.get(key)
+                    if rings is None:
+                        xs, ys, part_lens = entry[0], entry[1], entry[2]
+                        rings = []
+                        off = 0
+                        for n in part_lens:
+                            rings.append(
+                                np.stack([xs[off:off + n], ys[off:off + n]], axis=1)
+                            )
+                            off += int(n)
+                        ring_cache[key] = rings
+                    hit = ray_cast_np(
+                        grp[xcol].to_numpy(np.float64),
+                        grp[ycol].to_numpy(np.float64),
+                        rings,
+                    )
+                    if hit.any():
+                        sel = grp.loc[hit, [pid, xcol, ycol] + cand_id_cols].copy()
+                        sel.columns = [pid, xcol, ycol] + id_cols
+                        sel["feature_id"] = entry[3]
+                        sel["props_json"] = entry[4]
+                        rows.append(sel[out_cols])
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+        return cand.mapInPandas(kernel, out_schema)
+
+    # scale path: cogrouped applyInPandas — candidates shuffle as narrow
+    # rows, each polygon's geometry moves exactly once
+    def cogroup_kernel(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or poly_pdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        prow = poly_pdf.iloc[0]
+        rings = rings_of(prow)
+        hit = ray_cast_np(
+            cand_pdf[xcol].to_numpy(np.float64),
+            cand_pdf[ycol].to_numpy(np.float64),
+            rings,
+        )
+        sel = cand_pdf.loc[hit, [pid, xcol, ycol] + cand_id_cols].copy()
+        sel.columns = [pid, xcol, ycol] + id_cols
+        sel["feature_id"] = prow["feature_id"]
+        sel["props_json"] = prow["props_json"]
+        return sel[out_cols]
+
+    return (
+        cand.groupby(*cand_id_cols)
+        .cogroup(polys.select(*id_cols, *attr_cols, *geom_cols).groupby(*id_cols))
+        .applyInPandas(cogroup_kernel, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,7 +118,13 @@ def documents_from_fixture(
     spark: SparkSession, geojson_text: str, fixture: str
 ) -> DataFrame:
     rows = docs_rows_from_fixture(geojson_text, fixture)
-    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    # right-size partitions: createDataFrame scatters tiny fixture sets over
+    # defaultParallelism partitions, and every chained mapInPandas stage pays
+    # a Python-runner startup PER TASK — 32 near-empty partitions x N stages
+    # dominates wall time for small inputs
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 16 + 1))
+    return df.coalesce(n_parts)
 
 
 def span_sequence_fingerprint(docs_df: DataFrame) -> DataFrame:
@@ -143,7 +149,7 @@ def span_sequence_fingerprint(docs_df: DataFrame) -> DataFrame:
 
 
 def replicate_documents(
-    docs_df: DataFrame, copies: int, lon_jitter_deg: float = 0.7
+    docs_df: DataFrame, copies: int, lon_jitter_deg: float = 150.0
 ) -> DataFrame:
     """Deterministic scale-up: replicate each document ``copies`` times with
     a per-copy longitude jitter applied to the embedded GeoJSON.
@@ -155,18 +161,14 @@ def replicate_documents(
     idx = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy_idx")
     rep = docs_df.select("doc_id", "spans", idx)
 
-    @F.pandas_udf("string")
-    def jitter(text, copy_idx):
+    def kernel(batches):
         import pandas as pd
 
-        out = []
-        for t, c in zip(text, copy_idx):
+        def jitter_text(t: str, dlon: float) -> str:
             try:
                 obj = json.loads(t)
             except Exception:
-                out.append(t)
-                continue
-            dlon = ((int(c) * 73) % 360 - 180) * lon_jitter_deg / 180.0
+                return t
 
             def shift(coords):
                 if isinstance(coords[0], (int, float)):
@@ -175,7 +177,7 @@ def replicate_documents(
                         lon -= 360.0
                     if lon < -180.0:
                         lon += 360.0
-                    return [lon] + coords[1:]
+                    return [lon] + list(coords[1:])
                 return [shift(x) for x in coords]
 
             def fix(g):
@@ -188,20 +190,22 @@ def replicate_documents(
             geom = obj.get("geometry", obj) if obj.get("type") == "Feature" else obj
             if geom:
                 fix(geom)
-            out.append(json.dumps(obj, separators=(",", ":")))
-        return pd.Series(out)
+            return json.dumps(obj, separators=(",", ":"))
 
-    return rep.select(
-        F.concat_ws("-", "doc_id", F.format_string("%06d", "copy_idx")).alias("doc_id"),
-        F.transform(
-            "spans",
-            lambda s: F.struct(
-                s["kind"].alias("kind"),
-                F.when(s["kind"] == "geojson", jitter(s["text"], F.col("copy_idx")))
-                .otherwise(s["text"])
-                .alias("text"),
-                s["media_ref"].alias("media_ref"),
-                s["offset"].alias("offset"),
-            ),
-        ).alias("spans"),
-    )
+        for pdf in batches:
+            out_rows = []
+            for doc_id, spans, c in zip(pdf["doc_id"], pdf["spans"], pdf["copy_idx"]):
+                dlon = ((int(c) * 73) % 360 - 180) * lon_jitter_deg / 180.0
+                new_spans = [
+                    (
+                        s["kind"],
+                        jitter_text(s["text"], dlon) if s["kind"] == "geojson" else s["text"],
+                        s["media_ref"],
+                        s["offset"],
+                    )
+                    for s in spans
+                ]
+                out_rows.append((f"{doc_id}-{int(c):06d}", new_spans))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "spans"])
+
+    return rep.mapInPandas(kernel, DOCUMENTS_SCHEMA)
