@@ -1,0 +1,69 @@
+"""Checkpoint / resume semantics: kill-and-resume idempotency of the
+manifest-gated pipeline (SURVEY.md §2.11 checkpoint/lineage row)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from geojson_vt_cpp_spark.config import Options
+from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+from geojson_vt_cpp_spark.sources.table_io import TableIO, checkpointed_pipeline
+
+from .golden_utils import load_fixture
+
+pytestmark = pytest.mark.spark
+
+
+def test_pipeline_checkpoints_and_resumes(spark, tmp_path):
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    opts = Options(index_max_zoom=3, max_zoom=14)
+    wd = str(tmp_path / "run1")
+
+    r1 = checkpointed_pipeline(spark, wd, docs, opts)
+    assert not any(v.resumed for v in r1.values())
+    n1 = {k: v.rows for k, v in r1.items()}
+    assert n1["tile_features"] > 0
+
+    # second invocation resumes every stage from manifests, same results
+    r2 = checkpointed_pipeline(spark, wd, docs, opts)
+    assert all(v.resumed for v in r2.values())
+    assert {k: v.rows for k, v in r2.items()} == n1
+    assert {k: v.snapshot_id for k, v in r2.items()} == {
+        k: v.snapshot_id for k, v in r1.items()
+    }
+
+    # options change invalidates the fingerprint -> full re-run
+    r3 = checkpointed_pipeline(spark, wd, docs, Options(index_max_zoom=2, max_zoom=14))
+    assert not any(v.resumed for v in r3.values())
+
+
+def test_kill_mid_run_resumes_remaining_stages(spark, tmp_path):
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    opts = Options(index_max_zoom=3, max_zoom=14)
+    wd = str(tmp_path / "run2")
+
+    # simulate a crash after the first stage: run only 'features', then a
+    # torn write of 'wrapped' (manifest absent / incomplete)
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+
+    io = TableIO(spark, wd)
+    fp = json.dumps(opts.__dict__, sort_keys=True)
+    tol = (opts.tolerance / opts.extent) / (1 << opts.max_zoom)
+    io.run_stage("features", lambda: extract_features(docs, tol), fingerprint=fp)
+    os.makedirs(os.path.join(wd, "wrapped"), exist_ok=True)
+    with open(os.path.join(wd, "wrapped", "_manifest.json"), "w") as f:
+        f.write(json.dumps({"stage": "wrapped", "complete": False}))
+
+    r = checkpointed_pipeline(spark, wd, docs, opts)
+    assert r["features"].resumed  # untouched
+    assert not r["wrapped"].resumed  # torn write detected -> re-ran
+    assert not r["tile_features"].resumed
+    assert r["tile_features"].rows > 0
+
+    # manifest carries per-partition lineage counters
+    m = TableIO(spark, wd).read_manifest("tile_features")
+    assert m and m["complete"] and m["total_rows"] == r["tile_features"].rows
+    assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
