@@ -306,6 +306,38 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from proj group by vec_id
     """
 
+    # embedding-cosine near-dup: candidate pairs from 4-bit hyperplane-LSH
+    # buckets, refined by exact cosine >= threshold (synthetic embeddings
+    # have max pairwise cosine ~0.51, so the threshold is 0.35)
+    q["dedup_embedding_neardup"] = f"""
+        with e as ({elems}),
+        proj as (
+          select e.vec_id, bt.b, sum(e.x * {plane}) as dot
+          from e {_bits_join(d, 0, 3)}
+          group by e.vec_id, bt.b
+        ),
+        buckets as (
+          select vec_id,
+                 cast(sum(case when dot > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as bkt
+          from proj group by vec_id
+        ),
+        pairs as (
+          select a.vec_id as va, b.vec_id as vb
+          from buckets a join buckets b on a.bkt = b.bkt and a.vec_id < b.vec_id
+        ),
+        dots as (
+          select p.va, p.vb,
+                 sum(ea.x * eb.x) as dot, sum(ea.x * ea.x) as na, sum(eb.x * eb.x) as nb
+          from pairs p
+          join e ea on ea.vec_id = p.va
+          join e eb on eb.vec_id = p.vb and eb.i = ea.i
+          group by p.va, p.vb
+        )
+        select va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) as cosine
+        from dots
+        where dot / (sqrt(na) * sqrt(nb)) >= 0.35
+    """
+
     # ---- multimodal metadata (decode itself is stubbed; see multimodal.py) --
     doc_str = ts("doc_id")
     w_expr = f"({hh(f'concat(~w-~, {doc_str})')} % 1920) + 1".replace("~", "'")
