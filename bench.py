@@ -94,12 +94,16 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
 
     timed("pyramid_build", q_pyramid)
 
-    # 2. point-in-polygon join: sf customer points vs the replicated polygons
+    # 2. point-in-polygon join: sf customer points (replicated with the
+    #    corpus multiplier so the join workload scales with it) vs polygons
     feats = extract_features(docs, (3.0 / 4096.0) / (1 << 14)).cache()
+    key = f"(c_custkey * {mult} + j.j)"
     points = spark.sql(
-        f"select c_custkey as point_id, {D.synth_px('c_custkey')} as px, "
-        f"{D.synth_py('c_custkey')} as py from customer"
-    )
+        f"select {key} as point_id, {D.synth_px(key)} as px, "
+        f"{D.synth_py(key)} as py from customer "
+        f"cross join (select explode(sequence(0, {mult - 1})) as j) j"
+    ).repartition(cpus * 2).cache()
+    points.count()
     timed("pip_join", lambda: point_in_polygon_join(points, feats, salt=4).count())
 
     # 3. kNN: customer points vs supplier sites
@@ -107,8 +111,10 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
         f"select s_suppkey as site_id, {D.synth_px('s_suppkey')} as sx, "
         f"{D.synth_py('s_suppkey')} as sy from supplier"
     )
+    # res/ring sized to site density (100 sites -> ~1.6/cell at res 3;
+    # ring=2 certifies most queries instead of falling back to brute force)
     timed("knn_join", lambda: knn_join(
-        points, sites, k=5, res=6, ring=1,
+        points, sites, k=5, res=3, ring=2,
         query_cols=("point_id", "px", "py"), site_cols=("site_id", "sx", "sy"),
     ).count())
 
@@ -128,6 +134,7 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
         pyr_box["pyr"].close()
     docs.unpersist()
     feats.unpersist()
+    points.unpersist()
 
     total = round(sum(timings.values()), 3)
     produced = counts["pyramid_build"] + counts["pip_join"] + counts["knn_join"]

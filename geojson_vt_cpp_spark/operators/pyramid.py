@@ -165,7 +165,7 @@ class TilePyramid:
         # plan shallow (local mode; the workdir/TableIO path uses reliable
         # parquet checkpoints instead at cluster scale)
         self._n_parts = max(features_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-        features_df = features_df.localCheckpoint()
+        features_df = features_df.repartition(self._n_parts).localCheckpoint()
         feats = wrap_features(
             features_df, self.o.buffer / self.o.extent, self.o.line_metrics
         )
@@ -205,7 +205,11 @@ class TilePyramid:
         visit = {(0, 0)}
         z = 0
         while True:
-            assigned = assigned.coalesce(self._n_parts).localCheckpoint()
+            # full round-robin repartition, not coalesce: assignments are
+            # spatially skewed and coalesce would carry that skew into every
+            # downstream kernel task (straggler-bound wall time); the shuffle
+            # itself is cheap relative to the kernels it balances
+            assigned = assigned.repartition(self._n_parts).localCheckpoint()
             self._level_assigned[z] = assigned
             stats = {
                 (r["tx"], r["ty"]): (r["npts"], r["nrows"])

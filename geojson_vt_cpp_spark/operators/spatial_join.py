@@ -364,8 +364,13 @@ def knn_join(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(sid).asc())
-    ranked = cand.withColumn("knn_rank", F.row_number().over(w)).where(
-        F.col("knn_rank") <= k
+    # materialize the ranked candidates once: cert, the certified output and
+    # the straggler set all read it — without this the neighborhood join +
+    # window would recompute for each consumer
+    ranked = (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .localCheckpoint()
     )
     safe2 = (ring * cell_size) ** 2
     cert = ranked.groupBy(qid).agg(
