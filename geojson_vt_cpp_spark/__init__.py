@@ -18,6 +18,30 @@ Public API mirrors the reference's three entry points
 - :mod:`geojson_vt_cpp_spark.operators.spatial_join` — PIP / kNN / overlay.
 """
 
-from geojson_vt_cpp_spark.config import Options, TileOptions, to_id
+from geojson_vt_cpp_spark.config import Options, TileOptions, from_id, to_id
 
-__all__ = ["Options", "TileOptions", "to_id"]
+__all__ = [
+    "Options",
+    "TileOptions",
+    "to_id",
+    "from_id",
+    # convenience re-exports (import submodules lazily to keep `import
+    # geojson_vt_cpp_spark` free of a SparkSession requirement)
+]
+
+
+def __getattr__(name):
+    import importlib
+
+    lazy = {
+        "TilePyramid": "geojson_vt_cpp_spark.operators.pyramid",
+        "geojson_to_tile_df": "geojson_vt_cpp_spark.operators.tile_one_shot",
+        "point_in_polygon_join": "geojson_vt_cpp_spark.operators.spatial_join",
+        "knn_join": "geojson_vt_cpp_spark.operators.spatial_join",
+        "raster_vector_overlay": "geojson_vt_cpp_spark.operators.spatial_join",
+        "documents_from_fixture": "geojson_vt_cpp_spark.sources.documents",
+        "checkpointed_pipeline": "geojson_vt_cpp_spark.sources.table_io",
+    }
+    if name in lazy:
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module 'geojson_vt_cpp_spark' has no attribute {name!r}")

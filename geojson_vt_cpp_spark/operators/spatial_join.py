@@ -11,9 +11,16 @@ Design:
   points compute one cell per indexed resolution. The equi-join on
   (res, cell) is an ordinary shuffle join Catalyst can reorder, broadcast
   (``broadcast=True`` for small polygon sets) or AQE-skew-split.
-- **Exact ray-cast refinement** runs as one Arrow-batched kernel over the
-  candidate pairs, vectorized per polygon (even-odd rule over all rings, so
-  holes are handled).
+- **Exact ray-cast refinement** has three physical strategies:
+  ``method='native'`` (default) explodes polygons into an edge table once
+  and evaluates the even-odd crossing test as pure column expressions with
+  a map-side-combinable parity aggregate — zero Python in the hot path,
+  whole-stage codegen end to end; ``broadcast=True`` ships a geometry dict
+  to executors and refines in one narrow Arrow kernel (zero shuffles, for
+  small polygon sets); ``method='cogroup'`` cogroups candidates with
+  geometry so each polygon's geometry moves exactly once (when the polygon
+  side is too big to broadcast but per-group Arrow framing is acceptable).
+  All three produce identical rows (holes fall out of the even-odd rule).
 - **Skew**: pass ``salt > 1`` to replicate the polygon-cell build side and
   scatter hot cells deterministically (hash of the point id), on top of AQE.
 - **kNN** adapts H3-style k-ring expansion to the batch model: a bounded
@@ -156,6 +163,44 @@ def ray_cast_np(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.n
     return inside
 
 
+def _polygon_edges(polys_keyed: DataFrame) -> DataFrame:
+    """(poly_sk, e_xi, e_yi, e_xj, e_yj) — one row per ring edge, including
+    the ring wrap edge (degenerate for explicitly-closed rings, harmless in
+    the crossing test). One Arrow pass over the SMALL polygon side; the hot
+    candidate join never touches Python."""
+    schema = "poly_sk long, e_xi double, e_yi double, e_xj double, e_yj double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for sk_v, xs_v, ys_v, pl_v in zip(
+                pdf["poly_sk"], pdf["xs"], pdf["ys"], pdf["part_lens"]
+            ):
+                xs = np.asarray(xs_v, dtype=np.float64)
+                ys = np.asarray(ys_v, dtype=np.float64)
+                off = 0
+                for n in np.asarray(pl_v, dtype=np.int64):
+                    n = int(n)
+                    if n >= 3:
+                        rx = xs[off:off + n]
+                        ry = ys[off:off + n]
+                        xi = np.roll(rx, 1)
+                        yi = np.roll(ry, 1)
+                        out.append(
+                            pd.DataFrame({
+                                "poly_sk": np.full(n, sk_v, dtype=np.int64),
+                                "e_xi": xi, "e_yi": yi, "e_xj": rx, "e_yj": ry,
+                            })
+                        )
+                    off += n
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return polys_keyed.select("poly_sk", "xs", "ys", "part_lens").mapInPandas(
+        kernel, schema
+    )
+
+
 def point_in_polygon_join(
     points_df: DataFrame,
     polys_df: DataFrame,
@@ -163,6 +208,7 @@ def point_in_polygon_join(
     resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
     broadcast: bool = False,
     salt: int = 1,
+    method: str = "native",
 ) -> DataFrame:
     """(point_id, px, py) x polygon features -> matched pairs.
 
@@ -176,14 +222,19 @@ def point_in_polygon_join(
     attr_cols = ["feature_id", "props_json"]
     geom_cols = ["xs", "ys", "part_lens"]
 
-    # cover rows carry ONLY identity + (res, cell[, salt]) — geometry never
-    # rides the (cells x salt)-exploded build side
-    # fresh aliases (p_*) give the cover side new expression ids, so the
-    # downstream cogroup with `polys` is not an ambiguous self-join
+    # cover rows carry ONLY a long surrogate key + bbox + (res, cell[, salt])
+    # — geometry never rides the (cells x salt)-exploded build side, and the
+    # candidate shuffle moves longs, not id strings. The bbox goes along so
+    # candidates prune NATIVELY (whole-stage codegen) before any Python: the
+    # cell cover is conservative, the bbox test is exact per feature (the F2
+    # analogue, clip.hpp:287-293).
+    sk = F.xxhash64(*id_cols).alias("poly_sk")
     cover = polygon_cover_cells(
-        polys.select(*id_cols, "minx", "miny", "maxx", "maxy"), resolutions
-    ).select(*[F.col(c).alias(f"p_{c}") for c in id_cols], "res", "cell")
-    cand_id_cols = [f"p_{c}" for c in id_cols]
+        polys.select(sk, "minx", "miny", "maxx", "maxy"), resolutions
+    ).select("poly_sk", "res", "cell", "minx", "miny", "maxx", "maxy")
+    polys_keyed = polys.select(
+        F.xxhash64(*id_cols).alias("poly_sk"), *id_cols, *attr_cols, *geom_cols
+    )
 
     pts = point_cells(points_df.select(pid, xcol, ycol), resolutions, xcol, ycol)
     if salt > 1:
@@ -196,7 +247,15 @@ def point_in_polygon_join(
         keys = ["res", "cell"]
 
     right = F.broadcast(cover) if broadcast else cover
-    cand = pts.join(right, keys, "inner").drop(*keys)
+    cand = (
+        pts.join(right, keys, "inner")
+        # exact bbox prune in codegen before any Python crossing
+        .where(
+            (F.col(xcol) >= F.col("minx")) & (F.col(xcol) <= F.col("maxx"))
+            & (F.col(ycol) >= F.col("miny")) & (F.col(ycol) <= F.col("maxy"))
+        )
+        .select(pid, xcol, ycol, "poly_sk")
+    )
 
     pid_type = points_df.schema[pid].dataType.simpleString()
     out_schema = ", ".join(
@@ -206,25 +265,25 @@ def point_in_polygon_join(
     )
     out_cols = [pid, xcol, ycol] + id_cols + attr_cols
 
-    def rings_of(row) -> list[np.ndarray]:
-        xs = np.asarray(row["xs"], dtype=np.float64)
-        ys = np.asarray(row["ys"], dtype=np.float64)
+    def rings_of(xs_v, ys_v, part_lens_v) -> list[np.ndarray]:
+        xs = np.asarray(xs_v, dtype=np.float64)
+        ys = np.asarray(ys_v, dtype=np.float64)
         rings = []
         off = 0
-        for n in np.asarray(row["part_lens"], dtype=np.int64):
+        for n in np.asarray(part_lens_v, dtype=np.int64):
             rings.append(np.stack([xs[off:off + n], ys[off:off + n]], axis=1))
             off += int(n)
         return rings
 
     if broadcast:
-        # geometry as a broadcast dict; the refinement is a pure narrow
-        # mapInPandas over the candidate rows — zero shuffles end to end
-        geo_rows = polys.select(*id_cols, *attr_cols, *geom_cols).collect()
+        # geometry as a broadcast dict keyed on the surrogate; the
+        # refinement is a pure narrow mapInPandas — zero shuffles end to end
+        geo_rows = polys_keyed.collect()
         bc = points_df.sparkSession.sparkContext.broadcast(
             {
-                (r["doc_id"], r["span_idx"], r["feature_idx"], r["member_seq"]): (
-                    np.asarray(r["xs"]), np.asarray(r["ys"]),
-                    np.asarray(r["part_lens"], dtype=np.int64),
+                r["poly_sk"]: (
+                    rings_of(r["xs"], r["ys"], r["part_lens"]),
+                    tuple(r[c] for c in id_cols),
                     r["feature_id"], r["props_json"],
                 )
                 for r in geo_rows
@@ -233,63 +292,77 @@ def point_in_polygon_join(
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             geo = bc.value
-            ring_cache: dict = {}
             for pdf in batches:
                 if pdf.empty:
                     continue
                 rows = []
-                for key, grp in pdf.groupby(cand_id_cols, sort=False):
+                for key, grp in pdf.groupby("poly_sk", sort=False):
                     entry = geo.get(key)
                     if entry is None:
                         continue
-                    rings = ring_cache.get(key)
-                    if rings is None:
-                        xs, ys, part_lens = entry[0], entry[1], entry[2]
-                        rings = []
-                        off = 0
-                        for n in part_lens:
-                            rings.append(
-                                np.stack([xs[off:off + n], ys[off:off + n]], axis=1)
-                            )
-                            off += int(n)
-                        ring_cache[key] = rings
                     hit = ray_cast_np(
                         grp[xcol].to_numpy(np.float64),
                         grp[ycol].to_numpy(np.float64),
-                        rings,
+                        entry[0],
                     )
                     if hit.any():
-                        sel = grp.loc[hit, [pid, xcol, ycol] + cand_id_cols].copy()
-                        sel.columns = [pid, xcol, ycol] + id_cols
-                        sel["feature_id"] = entry[3]
-                        sel["props_json"] = entry[4]
+                        sel = grp.loc[hit, [pid, xcol, ycol]].copy()
+                        for c, v in zip(id_cols, entry[1]):
+                            sel[c] = v
+                        sel["feature_id"] = entry[2]
+                        sel["props_json"] = entry[3]
                         rows.append(sel[out_cols])
                 if rows:
                     yield pd.concat(rows, ignore_index=True)
 
         return cand.mapInPandas(kernel, out_schema)
 
-    # scale path: cogrouped applyInPandas — candidates shuffle as narrow
-    # rows, each polygon's geometry moves exactly once
+    if method == "native":
+        # fully JVM path: explode polygons into an edge table once (small
+        # side), join candidates x edges on the surrogate key, evaluate the
+        # even-odd crossing test as a pure column expression, and count
+        # crossing parity with a map-side-combinable aggregate. No Python in
+        # the hot path at all — whole-stage codegen end to end; the
+        # per-group applyInPandas framing cost (measured ~23s for 41k groups
+        # at this bench scale) disappears.
+        edges = _polygon_edges(polys_keyed)
+        pxc, pyc = F.col(xcol), F.col(ycol)
+        yi, yj, xi, xj = F.col("e_yi"), F.col("e_yj"), F.col("e_xi"), F.col("e_xj")
+        y_between = (yi > pyc) != (yj > pyc)
+        x_cross = (xj - xi) * (pyc - yi) / (yj - yi) + xi
+        crossing = (y_between & (pxc < x_cross)).cast("int")
+        hits = (
+            cand.join(edges, "poly_sk")
+            .groupBy(pid, xcol, ycol, "poly_sk")
+            .agg(F.sum(crossing).alias("n_cross"))
+            .where(F.pmod(F.col("n_cross"), F.lit(2)) == 1)
+        )
+        return hits.join(
+            polys_keyed.select("poly_sk", *id_cols, *attr_cols), "poly_sk"
+        ).select(*out_cols)
+
+    # cogrouped applyInPandas on the long surrogate key — candidates shuffle
+    # as (pid, x, y, sk) rows, each polygon's geometry moves exactly once
     def cogroup_kernel(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
         if cand_pdf.empty or poly_pdf.empty:
             return pd.DataFrame(columns=out_cols)
         prow = poly_pdf.iloc[0]
-        rings = rings_of(prow)
+        rings = rings_of(prow["xs"], prow["ys"], prow["part_lens"])
         hit = ray_cast_np(
             cand_pdf[xcol].to_numpy(np.float64),
             cand_pdf[ycol].to_numpy(np.float64),
             rings,
         )
-        sel = cand_pdf.loc[hit, [pid, xcol, ycol] + cand_id_cols].copy()
-        sel.columns = [pid, xcol, ycol] + id_cols
+        sel = cand_pdf.loc[hit, [pid, xcol, ycol]].copy()
+        for c in id_cols:
+            sel[c] = prow[c]
         sel["feature_id"] = prow["feature_id"]
         sel["props_json"] = prow["props_json"]
         return sel[out_cols]
 
     return (
-        cand.groupby(*cand_id_cols)
-        .cogroup(polys.select(*id_cols, *attr_cols, *geom_cols).groupby(*id_cols))
+        cand.groupby("poly_sk")
+        .cogroup(polys_keyed.groupby("poly_sk"))
         .applyInPandas(cogroup_kernel, out_schema)
     )
 

@@ -91,14 +91,25 @@ def _brute_pip(pts, feats_rows):
     return out
 
 
-@pytest.mark.parametrize("broadcast,salt", [(False, 1), (True, 1), (False, 4)])
-def test_point_in_polygon_vs_brute_force(spark, us_polys, broadcast, salt):
+@pytest.mark.parametrize(
+    "broadcast,salt,method",
+    [
+        (False, 1, "native"),
+        (True, 1, "native"),
+        (False, 4, "native"),
+        (False, 1, "cogroup"),
+        (False, 4, "cogroup"),
+    ],
+)
+def test_point_in_polygon_vs_brute_force(spark, us_polys, broadcast, salt, method):
     pts = _unit_points(2000)
     pdf = spark.createDataFrame(
         [(f"p{i:05d}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
         "point_id string, px double, py double",
     )
-    got = point_in_polygon_join(pdf, us_polys, broadcast=broadcast, salt=salt)
+    got = point_in_polygon_join(
+        pdf, us_polys, broadcast=broadcast, salt=salt, method=method
+    )
     got_pairs = {(r["point_id"], r["doc_id"]) for r in got.collect()}
     oracle = _brute_pip(pts, us_polys.where("gtype in (3,6)").collect())
     want_pairs = {
