@@ -173,10 +173,65 @@ def _run_subprocess(sf_dir: str, cpus: int, copies_mult: int) -> dict:
     return json.loads(line)
 
 
+def run_micro(spark, cpus: int) -> dict:
+    """Reference-shaped micro-benchmarks (BASELINE.md table; shapes from
+    /root/reference/bench/benchmark.cpp, values measured on this engine).
+    countries.geojson: 180 features (150 Polygon / 30 MultiPolygon)."""
+    import os as _os
+    import __spark_entry__ as E
+    from geojson_vt_cpp_spark.config import Options, TileOptions
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+    from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
+    from geojson_vt_cpp_spark.operators.tile_one_shot import geojson_to_tile_df
+    from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    countries = open(_os.path.join(here, "fixtures/countries.geojson")).read()
+    single_tile = open("/root/reference/test/fixtures/single-tile.json").read()
+    cdocs = documents_from_fixture(spark, countries, "countries")
+    sdocs = documents_from_fixture(spark, single_tile, "single-tile")
+    out = {}
+
+    t0 = time.time()
+    n = extract_features(cdocs, (3.0 / 4096.0) / (1 << 18)).count()
+    out["parse_geojson_sec"] = round(time.time() - t0, 3)  # ParseGeoJSON shape
+
+    t0 = time.time()  # GenerateTileIndex shape: indexMaxZoom=7, maxPoints=200
+    pyr = TilePyramid.from_documents(
+        cdocs, Options(index_max_zoom=7, index_max_points=200)
+    )
+    out["generate_tile_index_sec"] = round(time.time() - t0, 3)
+    out["generate_tile_index_tiles"] = pyr.total
+
+    t0 = time.time()  # TraverseTilePyramid shape: read back every tile
+    tiles = pyr.all_tiles()
+    out["traverse_pyramid_sec"] = round(time.time() - t0, 3)
+    out["traverse_pyramid_features"] = sum(len(v) for v in tiles.values())
+    pyr.close()
+
+    t0 = time.time()  # LargeGeoJSONToTile shape
+    geojson_to_tile_df(cdocs, 12, 1171, 1566, TileOptions(), False, True).count()
+    out["geojson_to_tile_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()  # SingleTileGeoJSONToTile shape
+    geojson_to_tile_df(sdocs, 12, 1171, 1566).count()
+    out["single_tile_to_tile_sec"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
+
+    if "--micro" in sys.argv:
+        spark = _make_spark(cpus)
+        try:
+            out = {"micro": run_micro(spark, cpus), "cpus": cpus}
+        finally:
+            spark.stop()
+        print(json.dumps(out))
+        return
 
     if scaling:
         # isolated subprocesses per parallelism level; 4x corpus so the

@@ -359,6 +359,38 @@ class TilePyramid:
             return EMPTY_TILE
         return self._collect_tile(key)
 
+    def get_tiles(self, requests: list[tuple[int, int, int]]) -> DataFrame:
+        """Batch tile read: one DataFrame of tile features for many (z, x, y)
+        requests — the Spark-shaped ``getTile`` (SURVEY.md §2 Q1 mapping).
+
+        Misses are grouped by their nearest sourced ancestor and drilled once
+        per distinct miss (bounded jobs, ancestor-path pruned like the
+        single-tile path); the hit lookup is ONE filter over the
+        z-partitioned tile features (partition pruning on z, min/max pruning
+        on tx/ty when persisted via TableIO).
+        """
+        wanted = []
+        for z, x, y in requests:
+            if z > self.o.max_zoom:
+                raise ValueError(f"Requested zoom higher than maxZoom: {z}")
+            z2 = 1 << z
+            wanted.append((z, ((x % z2) + z2) % z2, y))
+        for key in dict.fromkeys(wanted):  # preserve order, dedup
+            if key not in self.meta:
+                self._drill(*key)
+        found = [k for k in dict.fromkeys(wanted) if k in self.meta]
+        if not found:
+            return self.tile_features().limit(0)
+        packed = [(z << 58) + (x << 29) + y for z, x, y in found]
+        tf = self.tile_features()
+        return tf.where(
+            (
+                F.shiftleft(F.col("z").cast("long"), 58)
+                + F.shiftleft(F.col("tx"), 29)
+                + F.col("ty")
+            ).isin(packed)
+        )
+
     def _collect_tile(self, key: tuple[int, int, int]) -> Tile:
         if key in self._tile_cache:
             return self._tile_cache[key]
