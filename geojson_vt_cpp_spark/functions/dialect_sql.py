@@ -129,6 +129,49 @@ def queries_sql(dialect: str) -> dict[str, str]:
         having count(*) > 2
     """
 
+    q["rel_region_rollup"] = f"""
+        select r.r_name, n.n_name,
+               count(distinct c.c_custkey) as n_customers,
+               cast(sum(cast(c.c_acctbal as decimal(20,2))) as double) as sum_acctbal
+        from region r
+        join nation n on n.n_regionkey = r.r_regionkey
+        join customer c on c.c_nationkey = n.n_nationkey
+        group by r.r_name, n.n_name
+    """
+
+    q["rel_order_rank_window"] = f"""
+        with ranked as (
+          select o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() over (partition by o_orderpriority
+                                    order by o_totalprice desc, o_orderkey asc) as rnk
+          from orders)
+        select o_orderpriority, rnk, o_orderkey,
+               cast(cast(o_totalprice as decimal(20,2)) as double) as o_totalprice
+        from ranked where rnk <= 5
+    """
+
+    q["rel_part_semijoin"] = f"""
+        select p.p_brand, count(*) as n_parts
+        from part p
+        where exists (
+          select 1 from lineitem l
+          where l.l_partkey = p.p_partkey and l.l_quantity > 45
+        )
+        group by p.p_brand
+    """
+
+    q["rel_events_sessions"] = f"""
+        with t as (
+          select user_id, event_type, ts,
+                 lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+          from events)
+        select user_id, count(*) as n_events,
+               sum(case when prev_ts is null
+                        or {"unix_timestamp(ts) - unix_timestamp(prev_ts)" if d == 'spark' else "epoch(ts) - epoch(prev_ts)"} > 1800
+                   then 1 else 0 end) as n_sessions
+        from t group by user_id
+    """
+
     # ---- geo: cell index / tile codec over synthetic points ----------------
     px, py = synth_px("c_custkey"), synth_py("c_custkey")
     cells = ", ".join(
