@@ -1,0 +1,129 @@
+"""Approximate nearest neighbors over embedding columns: IVF (inverted-file)
+coarse quantizer, complementing the LSH-bucket path in dialect_sql.
+
+Everything is built-in DataFrame ops (``zip_with``/``aggregate`` array math
+— JVM-side, no UDFs): deterministic k-means (seeded by hashed vector ids,
+fixed Lloyd iterations, stable tie-breaks), cluster assignment as a
+broadcast join + array fold, and probe search that brute-forces only the
+``n_probe`` nearest clusters. ``n_probe == n_centroids`` degrades to exact
+brute force, which the tests exploit for an equality oracle.
+
+Scale shape: the index assignment is one broadcast join over the corpus
+(centroid count is small by construction); a search touches
+``n_probe/n_centroids`` of the data via a partition-prunable cluster-id
+filter when the indexed table is written partitioned by ``cluster_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(a, b):
+    """Squared L2 between two array columns (JVM array fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_index(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: returns (assignments, centroids).
+
+    assignments: (vec_id, embedding, cluster_id); centroids:
+    (cluster_id, centroid array<double>). Deterministic: seeds are the
+    ``n_centroids`` vectors with the smallest xxhash64(vec_id); ties in
+    assignment break toward the lower cluster_id.
+    """
+    base = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("embedding"),
+    )
+    seed_rows = (
+        base.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .collect()
+    )
+    seeds = base.sparkSession.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(seed_rows)],
+        "cluster_id int, centroid array<double>",
+    )
+    centroids = seeds
+    for _ in range(iters):
+        assigned = _assign(base, centroids)
+        # new centroid = element-wise mean per cluster (posexplode + regroup)
+        exploded = assigned.select(
+            "cluster_id", F.posexplode("embedding").alias("i", "x")
+        )
+        means = (
+            exploded.groupBy("cluster_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ims"))
+            .select(
+                "cluster_id",
+                F.transform("ims", lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        centroids = means
+    assignments = _assign(base, centroids)
+    return assignments, centroids
+
+
+def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2", _dist2(F.col("embedding"), F.col("centroid"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "embedding", "cluster_id")
+    )
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k nearest vectors to ``query_vec`` probing the ``n_probe``
+    closest clusters (cosine-free L2; deterministic tie-breaks).
+
+    Returns (vec_id, dist2, ann_rank). With the assignments table written
+    partitioned by cluster_id, the probe filter becomes partition pruning.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe = [
+        r["cluster_id"]
+        for r in centroids.withColumn("d2", _dist2(q, F.col("centroid")))
+        .orderBy(F.col("d2").asc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    from pyspark.sql.window import Window
+
+    cand = assignments.where(F.col("cluster_id").isin(probe)).withColumn(
+        "dist2", _dist2(q, F.col("embedding"))
+    )
+    w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select("vec_id", "dist2", "ann_rank")
+    )

@@ -1,0 +1,59 @@
+"""IVF ANN: exact when probing all clusters; good recall at partial probe."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geojson_vt_cpp_spark.operators.similarity import ivf_index, ivf_search
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+def _brute_topk(embs_rows, q, k):
+    ids = [r["vec_id"] for r in embs_rows]
+    mat = np.array([list(r["embedding"]) for r in embs_rows], dtype=np.float64)
+    d2 = ((mat - np.asarray(q)) ** 2).sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))
+    return [ids[i] for i in order[:k]]
+
+
+def test_ivf_exact_with_full_probe(spark, embs):
+    assignments, centroids = ivf_index(embs, n_centroids=8, iters=2)
+    assignments = assignments.cache()
+    rows = embs.collect()
+    q = [float(v) for v in rows[0]["embedding"]]
+    got = [r["vec_id"] for r in ivf_search(assignments, centroids, q, k=10, n_probe=8)
+           .orderBy("ann_rank").collect()]
+    assert got == _brute_topk(rows, q, 10)
+
+
+def test_ivf_partial_probe_recall(spark, embs):
+    assignments, centroids = ivf_index(embs, n_centroids=8, iters=2)
+    assignments = assignments.cache()
+    rows = embs.collect()
+    recalls = []
+    for qi in (0, 7, 42):
+        q = [float(v) for v in rows[qi]["embedding"]]
+        got = {r["vec_id"] for r in ivf_search(assignments, centroids, q, k=10, n_probe=3).collect()}
+        want = set(_brute_topk(rows, q, 10))
+        recalls.append(len(got & want) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # ANN at 3/8 clusters probed
+
+    # every vector is assigned to exactly one cluster
+    n = embs.count()
+    assert assignments.count() == n
+    assert assignments.select("vec_id").distinct().count() == n
+
+
+def test_ivf_deterministic(spark, embs):
+    a1, c1 = ivf_index(embs, n_centroids=4, iters=1)
+    a2, c2 = ivf_index(embs, n_centroids=4, iters=1)
+    m1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster_id"] for r in a2.collect()}
+    assert m1 == m2
