@@ -201,6 +201,27 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from pts group by tx, ty
     """
 
+    # raster <-> vector overlay: raster tiles synthesized from part rows,
+    # vector-feature tiles from customer points, equi-joined on the packed
+    # pyramid address (toID codec, geojsonvt.hpp:66-68)
+    ppx, ppy = synth_px("p_partkey"), synth_py("p_partkey")
+    q["geo_raster_overlay"] = f"""
+        with vect as (
+          select cast(least(greatest(floor(({px}) * {n}), 0), {n - 1}) as bigint) as tx,
+                 cast(least(greatest(floor(({py}) * {n}), 0), {n - 1}) as bigint) as ty,
+                 count(*) as n_features
+          from customer group by 1, 2),
+        rast as (
+          select cast(least(greatest(floor(({ppx}) * {n}), 0), {n - 1}) as bigint) as tx,
+                 cast(least(greatest(floor(({ppy}) * {n}), 0), {n - 1}) as bigint) as ty,
+                 count(*) as n_rasters
+          from part group by 1, 2)
+        select (({n} * v.ty + v.tx) * 32) + {z} as tile_id,
+               v.tx, v.ty, v.n_features, r.n_rasters,
+               v.n_features * r.n_rasters as n_overlay_pairs
+        from vect v join rast r on v.tx = r.tx and v.ty = r.ty
+    """
+
     # ---- dedup --------------------------------------------------------------
     q["dedup_exact"] = f"""
         select doc_id, md5(text) as text_hash,
