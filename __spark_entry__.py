@@ -184,10 +184,34 @@ KNN_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no SQL-expressible oracle; gated by pytest goldens)
+# pyramid queries — oracled against the reference's own 105-tile golden
+# (us-states-tiles.json, generated at indexMaxZoom=7, indexMaxPoints=200,
+# maxZoom=14 per test/test.cpp:424; oracle literals built by
+# functions/golden_oracle.py)
 # ---------------------------------------------------------------------------
 
 _PYR_CACHE: dict = {}
+
+# ring-closure-normalized (golden_oracle._norm_closure) per-ring arrays:
+# goldens are JS-generated and may keep a redundant closing vertex
+_RING_IS_CLOSED = (
+    "(out_type = 3 and size(xs) > 1 "
+    "and element_at(xs, 1) = element_at(xs, -1) "
+    "and element_at(ys, 1) = element_at(ys, -1))"
+)
+
+_GEOM_STR_EXPR = f"""
+    concat_ws('|', zip_with(part_xs, part_ys, (xs, ys) ->
+      concat_ws(';', zip_with(
+        if({_RING_IS_CLOSED}, slice(xs, 1, size(xs) - 1), xs),
+        if({_RING_IS_CLOSED}, slice(ys, 1, size(ys) - 1), ys),
+        (x, y) -> concat(cast(x as string), ':', cast(y as string))))))
+"""
+
+_N_POINTS_EXPR = f"""
+    aggregate(zip_with(part_xs, part_ys, (xs, ys) ->
+      size(xs) - if({_RING_IS_CLOSED}, 1, 0)), 0, (acc, v) -> acc + v)
+"""
 
 
 def _pyramid(spark: SparkSession):
@@ -199,20 +223,31 @@ def _pyramid(spark: SparkSession):
 
         docs = documents_from_fixture(spark, _fixture_text(), "us-states")
         _PYR_CACHE[key] = TilePyramid.from_documents(
-            docs, Options(index_max_zoom=5, index_max_points=200, max_zoom=14)
+            docs, Options(index_max_zoom=7, index_max_points=200, max_zoom=14)
         )
     return _PYR_CACHE[key]
 
 
 def _pyramid_tiles_per_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyr = _pyramid(spark)
-    tf = pyr.tile_features()
+    feats = pyr.tile_features().where(F.col("out_type") >= 0)
+    per_zoom = feats.groupBy("z").agg(
+        F.countDistinct("tx", "ty").alias("n_nonempty_tiles"),
+        F.count("*").alias("n_features"),
+    )
+    # every materialized tile incl. empties: the pyramid's tile registry,
+    # bounded by 4^indexMaxZoom (pyramid.py meta docstring)
+    meta_df = pyr.spark.createDataFrame(
+        [(z, x, y) for (z, x, y) in pyr.meta], "z int, tx long, ty long"
+    )
+    totals = meta_df.groupBy("z").agg(F.count("*").alias("n_tiles"))
     return (
-        tf.groupBy("z")
-        .agg(
-            F.countDistinct("tx", "ty").alias("n_nonempty_tiles"),
-            F.count("*").alias("n_features"),
-            F.sum("n_simplified").alias("n_simplified"),
+        totals.join(per_zoom, "z", "left")
+        .select(
+            F.col("z").cast("int").alias("z"),
+            F.col("n_tiles").cast("long").alias("n_tiles"),
+            F.coalesce("n_nonempty_tiles", F.lit(0)).cast("long").alias("n_nonempty_tiles"),
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
         )
         .orderBy("z")
     )
@@ -220,20 +255,33 @@ def _pyramid_tiles_per_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pyramid_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyr = _pyramid(spark)
-    return pyr.tile_features().select(
-        "z", "tx", "ty", "out_type", "is_multi", "feature_id",
-        F.size("part_xs").alias("n_parts"), "n_simplified",
+    return (
+        pyr.tile_features()
+        .where(F.col("out_type") >= 0)
+        .select(
+            F.col("z").cast("int").alias("z"),
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.col("out_type").cast("int").alias("out_type"),
+            F.col("feature_id").cast("string").alias("feature_id"),
+            F.size("part_xs").cast("int").alias("n_parts"),
+            F.expr(_N_POINTS_EXPR).cast("int").alias("n_points"),
+            F.md5(F.expr(_GEOM_STR_EXPR).cast("binary")).alias("geom_md5"),
+        )
     )
 
 
 def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_vt_cpp_spark.functions.golden_oracle import MM_DOC_LIMIT
     from geojson_vt_cpp_spark.operators.multimodal import (
         extract_image_features,
         synthesize_media_table,
     )
 
     _register_views(spark, sf_dir)
-    media = synthesize_media_table(spark.table("documents")).limit(200)
+    media = synthesize_media_table(
+        spark.table("documents").where(F.col("doc_id") < MM_DOC_LIMIT)
+    )
     return extract_image_features(media, fake_decode=True)
 
 
@@ -275,6 +323,12 @@ def oracle_sql() -> dict[str, str]:
             px=px, py=py, sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")
         ).split()
     )
-    # pyramid_* / mm_image_features: rows-only (non-SQL-expressible; their
-    # correctness gate is the golden-parity pytest suite)
+    # pyramid_*: literal-VALUES oracles aggregated from the reference's own
+    # golden fixture; mm_image_features: literals precomputed from the
+    # deterministic stub decode (functions/golden_oracle.py)
+    from geojson_vt_cpp_spark.functions import golden_oracle as G
+
+    o["pyramid_tiles_per_zoom"] = G.pyramid_tiles_per_zoom_oracle_sql()
+    o["pyramid_tile_features"] = G.pyramid_tile_features_oracle_sql()
+    o["mm_image_features"] = G.mm_image_features_oracle_sql()
     return o

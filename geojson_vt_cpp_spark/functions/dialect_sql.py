@@ -166,9 +166,9 @@ def queries_sql(dialect: str) -> dict[str, str]:
                  lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
           from events)
         select user_id, count(*) as n_events,
-               sum(case when prev_ts is null
-                        or {"unix_timestamp(ts) - unix_timestamp(prev_ts)" if d == 'spark' else "epoch(ts) - epoch(prev_ts)"} > 1800
-                   then 1 else 0 end) as n_sessions
+               cast(sum(case when prev_ts is null
+                        or {"timestampdiff(MICROSECOND, prev_ts, ts)" if d == 'spark' else "date_diff('microsecond', prev_ts, ts)"} > 1800000000
+                   then 1 else 0 end) as bigint) as n_sessions
         from t group by user_id
     """
 
