@@ -167,6 +167,43 @@ def _geo_knn_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the real operator at full probe (n_probe ==
+    n_centroids degrades to exact brute force — the SQL-expressible case;
+    recall at partial probe is covered by tests/test_similarity_ivf.py)."""
+    from geojson_vt_cpp_spark.operators.similarity import ivf_index, ivf_search
+
+    _register_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    assignments, centroids = ivf_index(embs, n_centroids=16, iters=2)
+    got = ivf_search(assignments, centroids, qvec, k=10, n_probe=16)
+    return got.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("dist2", 6).alias("dist2"),
+        "ann_rank",
+    )
+
+
+IVF_ORACLE = """
+    with e as ({elems}),
+    qv as (select i, x as qx from e where vec_id = 0),
+    d as (
+      select e.vec_id, sum((e.x - qv.qx) * (e.x - qv.qx)) as dist2
+      from e join qv on e.i = qv.i
+      group by e.vec_id),
+    ranked as (
+      select vec_id, dist2,
+             row_number() over (order by dist2 asc, vec_id asc) as ann_rank
+      from d)
+    select vec_id, round(dist2, 6) as dist2, ann_rank
+    from ranked where ann_rank <= 10
+"""
+
+
 KNN_ORACLE = """
     with pts as (select c_custkey as point_id, ({px}) as px, ({py}) as py from customer),
     sites as (select s_suppkey as site_id, ({sx}) as sx, ({sy}) as sy from supplier),
@@ -304,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     qs["geo_pip_triangles"] = _geo_pip_triangles
     qs["geo_knn_sites"] = _geo_knn_sites
+    qs["sim_ivf_search"] = _sim_ivf_search
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
     qs["pyramid_tile_features"] = _pyramid_tile_features
     qs["mm_image_features"] = _mm_image_features
@@ -322,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
         KNN_ORACLE.format(
             px=px, py=py, sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")
         ).split()
+    )
+    o["sim_ivf_search"] = " ".join(
+        IVF_ORACLE.format(elems=D._vec_elems("duckdb")).split()
     )
     # pyramid_*: literal-VALUES oracles aggregated from the reference's own
     # golden fixture; mm_image_features: literals precomputed from the

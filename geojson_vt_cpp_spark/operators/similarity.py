@@ -121,9 +121,13 @@ def ivf_search(
     cand = assignments.where(F.col("cluster_id").isin(probe)).withColumn(
         "dist2", _dist2(q, F.col("embedding"))
     )
+    # distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (map-side partial top-k per partition, k-row merge on the driver side
+    # of the exchange) — NOT a global single-task window over every probed
+    # candidate; the rank-stamping window below runs over k rows only
+    topk = cand.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
     return (
-        cand.withColumn("ann_rank", F.row_number().over(w))
-        .where(F.col("ann_rank") <= k)
+        topk.withColumn("ann_rank", F.row_number().over(w))
         .select("vec_id", "dist2", "ann_rank")
     )
