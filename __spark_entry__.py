@@ -204,6 +204,44 @@ IVF_ORACLE = """
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> canonical keeper
+    (operators/dedup.py) — the clustering stage a production training-data
+    dedup runs after candidate generation."""
+    from geojson_vt_cpp_spark.operators.dedup import dedup_clusters
+
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(D.queries_sql("spark")["dedup_minhash_pairs"])
+    docs = spark.table("documents").select("doc_id")
+    return dedup_clusters(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_keeper",
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = """
+    with recursive
+    mp as ({pairs_sql}),
+    edges as (
+      select doc_a as a, doc_b as b from mp
+      union
+      select doc_b as a, doc_a as b from mp),
+    reach(node, root) as (
+      select doc_id, doc_id from documents
+      union
+      select e.b, r.root from reach r join edges e on e.a = r.node),
+    comp as (select node as doc_id, min(root) as cluster_id from reach group by node),
+    sz as (select cluster_id, count(*) as cluster_size from comp group by cluster_id)
+    select cast(c.doc_id as bigint) as doc_id,
+           cast(c.cluster_id as bigint) as cluster_id,
+           cast(s.cluster_size as bigint) as cluster_size,
+           cast(case when c.doc_id = c.cluster_id then 1 else 0 end as int) as is_keeper
+    from comp c join sz s on s.cluster_id = c.cluster_id
+"""
+
+
 KNN_ORACLE = """
     with pts as (select c_custkey as point_id, ({px}) as px, ({py}) as py from customer),
     sites as (select s_suppkey as site_id, ({sx}) as sx, ({sy}) as sy from supplier),
@@ -342,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["geo_pip_triangles"] = _geo_pip_triangles
     qs["geo_knn_sites"] = _geo_knn_sites
     qs["sim_ivf_search"] = _sim_ivf_search
+    qs["dedup_clusters"] = _dedup_clusters
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
     qs["pyramid_tile_features"] = _pyramid_tile_features
     qs["mm_image_features"] = _mm_image_features
@@ -363,6 +402,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sim_ivf_search"] = " ".join(
         IVF_ORACLE.format(elems=D._vec_elems("duckdb")).split()
+    )
+    o["dedup_clusters"] = " ".join(
+        DEDUP_CLUSTERS_ORACLE.format(
+            pairs_sql=D.queries_sql("duckdb")["dedup_minhash_pairs"]
+        ).split()
     )
     # pyramid_*: literal-VALUES oracles aggregated from the reference's own
     # golden fixture; mm_image_features: literals precomputed from the
