@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,32 +84,58 @@ def extract_features(
     return feats
 
 
-def assign_sequential_ids(feats: DataFrame) -> DataFrame:
+def assign_sequential_ids(
+    feats: DataFrame,
+    mode: str = "auto",
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
     """Overwrite ids with the global input-order uint64 sequence.
 
-    Two-phase, no global window: count top-level features per span, compute
-    span offsets on the driver (spans are few relative to features), then
-    broadcast-join the offsets back and add feature_idx. At 10^12-doc scale
-    the offsets step becomes a repartitionByRange + per-partition-count pass
-    (same algorithm, offsets kept distributed); the broadcast variant keeps
-    small/medium builds to a single tiny shuffle.
+    Two-phase, no global window. Span offsets (cumulative top-level feature
+    counts in (doc_id, span_idx) order) are computed either:
+
+    - ``broadcast``: collected to the driver, prefix-summed, broadcast back
+      — one tiny shuffle; right whenever the span count is bounded;
+    - ``distributed``: repartitionByRange on the span key +
+      sortWithinPartitions; per-PARTITION totals (one row per partition)
+      are the only driver traffic, and each partition prefix-sums locally
+      from its broadcast base offset. Scales to 10^12 spans — the driver
+      holds O(partitions), never O(spans).
+
+    ``auto`` picks by counting the span aggregate against
+    ``broadcast_threshold``. Ordering note: both paths order doc_id as a
+    raw string (Spark compares UTF-8 bytes).
     """
     spark = feats.sparkSession
-    counts = (
+    counts_df = (
         feats.where(F.col("member_seq") == 0)
         .groupBy("doc_id", "span_idx")
         .agg(F.count("*").alias("n_feats"))
-        .collect()
     )
-    counts.sort(key=lambda r: (r["doc_id"], r["span_idx"]))
-    offsets = []
-    acc = 0
-    for r in counts:
-        offsets.append((r["doc_id"], r["span_idx"], acc))
-        acc += r["n_feats"]
-    off_df = spark.createDataFrame(offsets, "doc_id string, span_idx int, id_offset long")
+    if mode == "auto":
+        counts_df = counts_df.localCheckpoint()
+        mode = (
+            "broadcast"
+            if counts_df.count() <= broadcast_threshold
+            else "distributed"
+        )
+    if mode == "broadcast":
+        rows = counts_df.collect()
+        rows.sort(key=lambda r: (r["doc_id"], r["span_idx"]))
+        offsets = []
+        acc = 0
+        for r in rows:
+            offsets.append((r["doc_id"], r["span_idx"], acc))
+            acc += r["n_feats"]
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                offsets, "doc_id string, span_idx int, id_offset long"
+            )
+        )
+    else:
+        off_df = _distributed_span_offsets(counts_df)
     return (
-        feats.join(F.broadcast(off_df), ["doc_id", "span_idx"], "left")
+        feats.join(off_df, ["doc_id", "span_idx"], "left")
         .withColumn(
             "feature_id",
             (F.col("id_offset") + F.col("feature_idx")).cast("string"),
@@ -116,4 +143,50 @@ def assign_sequential_ids(feats: DataFrame) -> DataFrame:
         .withColumn("id_kind", F.lit(GJ.ID_U64))
         .drop("id_offset")
         .select(*[f.name for f in codec.FEATURES_SCHEMA.fields])
+    )
+
+
+def _distributed_span_offsets(counts_df: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, id_offset) with the prefix sum computed
+    distributed: range partitions are key-ordered by construction, so the
+    cross-partition carry is a cumsum over ONE total per partition."""
+    spark = counts_df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    ordered = (
+        counts_df.repartitionByRange(n_parts, "doc_id", "span_idx")
+        .sortWithinPartitions("doc_id", "span_idx")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the partitioning for the two passes below
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in ordered.groupBy("pid").agg(F.sum("n_feats").alias("tot")).collect()
+    }
+    bases = {}
+    acc = 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += totals[pid]
+    bc = spark.sparkContext.broadcast(bases)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if acc is None:
+                acc = int(bc.value[int(pdf["pid"].iloc[0])])
+            n = pdf["n_feats"].to_numpy()
+            starts = acc + np.concatenate(([0], np.cumsum(n[:-1])))
+            acc += int(n.sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_idx": pdf["span_idx"],
+                    "id_offset": starts,
+                }
+            )
+
+    return ordered.mapInPandas(
+        kernel, "doc_id string, span_idx int, id_offset long"
     )

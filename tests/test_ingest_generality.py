@@ -71,6 +71,46 @@ def test_generate_id_spans_global_sequence(spark, multi_docs):
                    ("3", "u64"), ("3", "u64")]
 
 
+def test_generate_id_distributed_matches_broadcast(spark, multi_docs):
+    """Forced-distributed span offsets (repartitionByRange + per-partition
+    bases) must equal the broadcast path exactly, including at a partition
+    count far above the span count (empty partitions exercised)."""
+    from geojson_vt_cpp_spark.operators.convert import assign_sequential_ids
+
+    feats = extract_features(multi_docs, 1e-6)
+    key_cols = ["doc_id", "span_idx", "feature_idx", "member_seq"]
+    want = {
+        tuple(r[c] for c in key_cols): r["feature_id"]
+        for r in assign_sequential_ids(feats, mode="broadcast").collect()
+    }
+    got = {
+        tuple(r[c] for c in key_cols): r["feature_id"]
+        for r in assign_sequential_ids(feats, mode="distributed").collect()
+    }
+    assert got == want
+    assert sorted(int(v) for v in set(want.values())) == [0, 1, 2, 3]
+
+
+def test_generate_id_distributed_many_spans(spark):
+    """Multi-partition span space: 600 single-point spans across 200 docs;
+    ids must be the exact global sequence in (doc_id, span_idx) order."""
+    from geojson_vt_cpp_spark.operators.convert import assign_sequential_ids
+
+    pt = json.dumps(_pt(1, 1))
+    rows = [
+        (f"doc-{i:04d}", [_span("geojson", pt) for _ in range(3)])
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).repartition(16)
+    feats = extract_features(docs, 1e-6)
+    out = assign_sequential_ids(feats, mode="distributed")
+    got = [
+        int(r["feature_id"])
+        for r in out.orderBy("doc_id", "span_idx").collect()
+    ]
+    assert got == list(range(600))
+
+
 def test_pyramid_over_multi_span_docs(spark, multi_docs):
     pyr = TilePyramid.from_documents(multi_docs, Options(index_max_zoom=2))
     t = pyr.get_tile(0, 0, 0)
