@@ -104,7 +104,10 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
         f"cross join (select explode(sequence(0, {mult - 1})) as j) j"
     ).repartition(cpus * 2).cache()
     points.count()
-    timed("pip_join", lambda: point_in_polygon_join(points, feats, salt=4).count())
+    # salt=1: uniform points + AQE need no deterministic salting — the
+    # hot-cell study (BENCH.md, scripts/hot_cell_bench.py) shows salt's
+    # cover/edge replication costs more than it saves on unskewed keys
+    timed("pip_join", lambda: point_in_polygon_join(points, feats).count())
 
     # 3. kNN: customer points vs supplier sites
     sites = spark.sql(
@@ -219,6 +222,23 @@ def run_micro(spark, cpus: int) -> dict:
     return out
 
 
+def _append_history(out: dict) -> None:
+    """Per-run record in BENCH_history.jsonl so round-over-round regression
+    is judged on a series, not one sample of this noisy shared box."""
+    rec = dict(out)
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        rec["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_history.jsonl")
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed JSON line is still the record
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -248,6 +268,7 @@ def main() -> None:
             "speedup": round(thi / tlo, 3) if tlo else None,
             "efficiency": round((thi / tlo) / (hi / lo), 3) if tlo else None,
         }
+        _append_history({"mode": "scaling", "sf": _sf_of(sf_dir), **out})
         print(json.dumps(out))
         return
 
@@ -266,6 +287,7 @@ def main() -> None:
         "rows_per_sec": r["rows_per_sec"],
         "counts": r["counts"],
     }
+    _append_history({"mode": "single", **out})
     print(json.dumps(out))
 
 

@@ -130,7 +130,11 @@ def ring_area(pts: np.ndarray) -> float:
         return 0.0
     x = pts[:, 0]
     y = pts[:, 1]
-    area = float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    # sequential accumulation (cumsum), NOT pairwise np.sum — the C++ adds
+    # the shoelace terms one by one (convert.hpp:73-77) and the result feeds
+    # the area > sq_tolerance emit filter (tile.hpp:165), where a last-ULP
+    # difference can flip a borderline ring in/out of a tile
+    area = float(np.cumsum(x[:-1] * y[1:] - x[1:] * y[:-1])[-1])
     return abs(area / 2.0)
 
 
@@ -456,9 +460,16 @@ def clip_geom(
     multipoints use the closed-interval filter; POINT passes through
     unchanged (the reference never clips a bare point, ``clip.hpp:23-25``).
 
-    The reference keeps features whose clipped geometry came out empty; those
-    are observationally invisible downstream (0 points, never re-clipped into
-    output), so this kernel returns None and the operator layer drops the row.
+    The reference keeps features whose clipped geometry came out empty
+    (clip.hpp:297-312, sentinel bbox); those are observationally invisible
+    in TILE OUTPUT (0 points, never emitted), so this kernel returns None
+    and the operator layer drops the row. Known internal-counter divergence:
+    because such rows survive as reference source features, a later
+    drill-down there registers child tiles in total/stats where this engine
+    returns EMPTY_TILE without registering — e.g. a disconnected multipoint
+    straddling a clip boundary, then get_tile into the empty half. Tile
+    features are identical either way; only the total/stats counters differ
+    for that degenerate shape.
     """
     gt = g.gtype
     if gt == GT_EMPTY or gt == GT_POINT:

@@ -148,7 +148,16 @@ def _stat_only_row(row: dict, nsimp: int) -> dict:
 class TilePyramid:
     """Eager index to ``index_max_zoom`` + on-demand drill-down."""
 
-    def __init__(self, features_df: DataFrame, options: Options | None = None):
+    def __init__(
+        self,
+        features_df: DataFrame,
+        options: Options | None = None,
+        pre_wrapped: bool = False,
+    ):
+        """``pre_wrapped=True`` skips the antimeridian wrap for callers that
+        already ran wrap_features (e.g. the checkpointed pipeline's
+        'wrapped' stage) — wrapping twice would duplicate dateline side
+        copies and triple GT_EMPTY features."""
         self.o = options or Options()
         self.spark = features_df.sparkSession
         self.meta: dict[tuple[int, int, int], _Meta] = {}
@@ -166,8 +175,12 @@ class TilePyramid:
         # parquet checkpoints instead at cluster scale)
         self._n_parts = max(features_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
         features_df = features_df.repartition(self._n_parts).localCheckpoint()
-        feats = wrap_features(
-            features_df, self.o.buffer / self.o.extent, self.o.line_metrics
+        feats = (
+            features_df
+            if pre_wrapped
+            else wrap_features(
+                features_df, self.o.buffer / self.o.extent, self.o.line_metrics
+            )
         )
         self._build(feats)
 

@@ -209,12 +209,23 @@ def point_in_polygon_join(
     broadcast: bool = False,
     salt: int = 1,
     method: str = "native",
+    broadcast_edges: bool | None = None,
+    edge_broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(point_id, px, py) x polygon features -> matched pairs.
 
     Returns one row per (point, containing polygon) with the polygon's
     identity columns (doc_id, span_idx, feature_idx, member_seq,
     feature_id, props_json).
+
+    ``broadcast_edges`` controls the native path's candidatesxedges
+    refinement join: True ships the edge table to every executor (no
+    shuffle, and one hot polygon cannot converge its candidates onto one
+    reducer); None counts polygon vertices once and broadcasts under
+    ``edge_broadcast_threshold`` edges. When the edge table is too big to
+    broadcast AND ``salt > 1``, the salt is carried through to the parity
+    join key (edges replicated salt ways), so the skew split survives the
+    refinement stage instead of re-converging on raw poly_sk.
     """
     pid, xcol, ycol = point_cols
     polys = polys_df.where(F.col("gtype").isin(3, 6))
@@ -247,6 +258,7 @@ def point_in_polygon_join(
         keys = ["res", "cell"]
 
     right = F.broadcast(cover) if broadcast else cover
+    cand_cols = [pid, xcol, ycol, "poly_sk"] + (["salt"] if salt > 1 else [])
     cand = (
         pts.join(right, keys, "inner")
         # exact bbox prune in codegen before any Python crossing
@@ -254,7 +266,7 @@ def point_in_polygon_join(
             (F.col(xcol) >= F.col("minx")) & (F.col(xcol) <= F.col("maxx"))
             & (F.col(ycol) >= F.col("miny")) & (F.col(ycol) <= F.col("maxy"))
         )
-        .select(pid, xcol, ycol, "poly_sk")
+        .select(*cand_cols)
     )
 
     pid_type = points_df.schema[pid].dataType.simpleString()
@@ -326,14 +338,29 @@ def point_in_polygon_join(
         # per-group applyInPandas framing cost (measured ~23s for 41k groups
         # at this bench scale) disappears.
         edges = _polygon_edges(polys_keyed)
+        if broadcast_edges is None:
+            n_edges = polys.agg(
+                F.sum(F.size("xs")).alias("n")
+            ).first()["n"] or 0
+            broadcast_edges = n_edges <= edge_broadcast_threshold
         pxc, pyc = F.col(xcol), F.col(ycol)
         yi, yj, xi, xj = F.col("e_yi"), F.col("e_yj"), F.col("e_xi"), F.col("e_xj")
         y_between = (yi > pyc) != (yj > pyc)
         x_cross = (xj - xi) * (pyc - yi) / (yj - yi) + xi
         crossing = (y_between & (pxc < x_cross)).cast("int")
+        if broadcast_edges:
+            joined = cand.join(F.broadcast(edges), "poly_sk")
+        elif salt > 1:
+            # keep the skew split through the refinement: replicate edges
+            # per salt bucket so each hot polygon's candidates stay spread
+            edges = edges.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            joined = cand.join(edges, ["poly_sk", "salt"])
+        else:
+            joined = cand.join(edges, "poly_sk")
         hits = (
-            cand.join(edges, "poly_sk")
-            .groupBy(pid, xcol, ycol, "poly_sk")
+            joined.groupBy(pid, xcol, ycol, "poly_sk")
             .agg(F.sum(crossing).alias("n_cross"))
             .where(F.pmod(F.col("n_cross"), F.lit(2)) == 1)
         )

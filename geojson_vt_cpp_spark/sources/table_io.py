@@ -172,7 +172,9 @@ def checkpointed_pipeline(
     )
 
     def build_tiles() -> DataFrame:
-        pyr = TilePyramid(results["wrapped"].df, o)
+        # pre_wrapped: the 'wrapped' stage already ran wrap_features —
+        # wrapping again would duplicate dateline side copies / GT_EMPTY rows
+        pyr = TilePyramid(results["wrapped"].df, o, pre_wrapped=True)
         return pyr.tile_features()
 
     results["tile_features"] = io.run_stage(

@@ -67,3 +67,29 @@ def test_kill_mid_run_resumes_remaining_stages(spark, tmp_path):
     m = TableIO(spark, wd).read_manifest("tile_features")
     assert m and m["complete"] and m["total_rows"] == r["tile_features"].rows
     assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
+
+
+def test_checkpointed_pipeline_no_double_wrap(spark, tmp_path):
+    """Dateline-adjacent input: the checkpointed pipeline (which persists a
+    'wrapped' stage) must produce exactly the tile features of a direct
+    TilePyramid build — a second wrap_features inside TilePyramid would
+    duplicate dateline side copies."""
+    from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
+    from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+
+    docs = documents_from_fixture(spark, load_fixture("dateline.json"), "dateline")
+    opts = Options(index_max_zoom=2, max_zoom=14)
+
+    r = checkpointed_pipeline(spark, str(tmp_path / "dl"), docs, opts)
+    key = ["z", "tx", "ty", "copy_tag", "doc_id", "span_idx", "feature_idx",
+           "member_seq", "slice_path", "out_type"]
+    got = sorted(
+        tuple(row[c] for c in key) for row in r["tile_features"].df.collect()
+    )
+
+    pyr = TilePyramid.from_documents(docs, opts)
+    want = sorted(
+        tuple(row[c] for c in key) for row in pyr.tile_features().collect()
+    )
+    pyr.close()
+    assert got == want

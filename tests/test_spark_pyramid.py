@@ -168,3 +168,41 @@ def test_span_sequence_invariant(spark):
     assert touched and touched <= set(before)
     assert before == after
     pyr.close()
+
+
+def test_spark_projection_roundtrip(spark):
+    """GetTile.Projection (test.cpp:282-338) through the SPARK pipeline:
+    z0-z20 drill-down of linestring.json, int16 coords re-projected to
+    WGS84 within 0.1/(1+z). The z20 get_tile drills through every
+    intermediate level, so a sampled zoom list still exercises the whole
+    ancestor chain."""
+    import math
+
+    pyr = _pyramid(
+        spark, "linestring.json", Options(max_zoom=20, extent=8192, tolerance=0)
+    )
+    coords = {
+        0: (0, 0), 1: (0, 0), 3: (1, 3), 7: (20, 49), 12: (655, 1583),
+        16: (10482, 25329), 20: (167719, 405281),
+    }
+    expected = [
+        (-122.41822421550751, 37.77852514599172),
+        (-122.41707086563109, 37.780424620898664),
+    ]
+    for z, (x, y) in sorted(coords.items()):
+        t = pyr.get_tile(z, x, y)
+        assert t.num_points == t.num_simplified
+        assert len(t.features) == 1
+        f = t.features[0]
+        assert f["type"] == 2 and not f["is_multi"]
+        line = f["parts"][0]
+        assert len(line) == 2
+        total = (1 << z) * 8192.0
+        tol = 0.1 / (1 + z)
+        for (px, py), (elon, elat) in zip(line, expected):
+            lon = (8192.0 * x + px) * 360.0 / total - 180.0
+            y2 = 180.0 - (8192.0 * y + py) * 360.0 / total
+            lat = 360.0 / math.pi * math.atan(math.exp(y2 * math.pi / 180.0)) - 90.0
+            assert abs(lon - elon) < tol, (z, lon, elon)
+            assert abs(lat - elat) < tol, (z, lat, elat)
+    pyr.close()
