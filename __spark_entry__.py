@@ -346,6 +346,60 @@ def _pyramid_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregate run availableNow over the
+    static events table (file source staged to a temp dir); deterministic:
+    append mode emits exactly the windows whose end <= the final watermark
+    (= max event time at late_threshold 0), which the DuckDB oracle
+    reproduces with a max(ts) cutoff."""
+    import shutil
+    import tempfile
+
+    from geojson_vt_cpp_spark.streaming.aggregate import stream_events_hourly
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="gvt_stream_")
+    src = f"{work}/in"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _STREAM_SINK_SEQ[0] += 1
+    sink = f"gvt_hourly_sink_{_STREAM_SINK_SEQ[0]}"
+    q = (
+        stream_events_hourly(stream, late_threshold="0 seconds")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(sink).select(
+        "event_type", "hour_bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAM_HOURLY_ORACLE = """
+    with mt as (select max(ts) as mx from events)
+    select event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour_bucket,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(20,4))) as double) as sum_value
+    from events, mt
+    where date_trunc('hour', ts) + interval 1 hour <= mt.mx
+    group by 1, 2
+"""
+
+
 def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_vt_cpp_spark.functions.golden_oracle import MM_DOC_LIMIT
     from geojson_vt_cpp_spark.operators.multimodal import (
@@ -381,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["geo_knn_sites"] = _geo_knn_sites
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
+    qs["stream_events_hourly"] = _stream_events_hourly
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
     qs["pyramid_tile_features"] = _pyramid_tile_features
     qs["mm_image_features"] = _mm_image_features
@@ -408,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
             pairs_sql=D.queries_sql("duckdb")["dedup_minhash_pairs"]
         ).split()
     )
+    o["stream_events_hourly"] = " ".join(STREAM_HOURLY_ORACLE.split())
     # pyramid_*: literal-VALUES oracles aggregated from the reference's own
     # golden fixture; mm_image_features: literals precomputed from the
     # deterministic stub decode (functions/golden_oracle.py)
