@@ -9,11 +9,13 @@ customer table -> per-state aggregate.
 (SURVEY.md §2 + the north-rule §2.11 operators + training-data ops). Most
 queries are dual-dialect SQL generated from ONE template
 (geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark plan and the
-DuckDB oracle compute bit-compatible values; the spatial-join queries run
-the engine's real DataFrame operators against hand-written independent SQL
-oracles. Pyramid/multimodal queries have no SQL-expressible oracle and are
-registered rows-only (their correctness gate is the golden-parity pytest
-suite against /root/reference fixtures).
+DuckDB oracle compute bit-compatible values; the spatial-join / IVF /
+clustering / streaming queries run the engine's real DataFrame operators
+against hand-written independent SQL oracles. The pyramid queries check the
+real Spark pyramid against literal VALUES aggregated from the reference's
+own golden fixture (incl. a geometry digest), and the multimodal feature
+query against literals precomputed from the deterministic stub decode
+(functions/golden_oracle.py) — every registered query has an oracle row.
 """
 
 from __future__ import annotations
