@@ -419,6 +419,44 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, fake_decode=True)
 
 
+def _mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline: stub decode -> REAL numpy nearest-neighbor
+    resize -> per-channel features (operators/multimodal.py:resize_images);
+    oracle literals precomputed from the same deterministic chain."""
+    from geojson_vt_cpp_spark.functions.golden_oracle import MM_DOC_LIMIT
+    from geojson_vt_cpp_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media_table,
+    )
+
+    _register_views(spark, sf_dir)
+    media = synthesize_media_table(
+        spark.table("documents").where(F.col("doc_id") < MM_DOC_LIMIT)
+    )
+    return resize_images(media, out_w=64, out_h=36, fake_decode=True)
+
+
+def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: stub video decode -> every-3rd-frame features, one
+    row per sampled frame (operators/multimodal.py:sample_video_frames)."""
+    from geojson_vt_cpp_spark.functions.golden_oracle import (
+        VID_DOC_LIMIT,
+        VID_EVERY_K,
+        VID_MAX_FRAMES,
+    )
+    from geojson_vt_cpp_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_video_table,
+    )
+
+    _register_views(spark, sf_dir)
+    media = synthesize_video_table(
+        spark.table("documents").where(F.col("doc_id") < VID_DOC_LIMIT),
+        max_frames=VID_MAX_FRAMES,
+    )
+    return sample_video_frames(media, every_k=VID_EVERY_K, fake_decode=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -444,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
     qs["pyramid_tile_features"] = _pyramid_tile_features
     qs["mm_image_features"] = _mm_image_features
+    qs["mm_resize_features"] = _mm_resize_features
+    qs["mm_video_frames"] = _mm_video_frames
     return qs
 
 
@@ -477,4 +517,6 @@ def oracle_sql() -> dict[str, str]:
     o["pyramid_tiles_per_zoom"] = G.pyramid_tiles_per_zoom_oracle_sql()
     o["pyramid_tile_features"] = G.pyramid_tile_features_oracle_sql()
     o["mm_image_features"] = G.mm_image_features_oracle_sql()
+    o["mm_resize_features"] = G.mm_resize_features_oracle_sql()
+    o["mm_video_frames"] = G.mm_video_frames_oracle_sql()
     return o

@@ -58,6 +58,127 @@ def decode_image_stub(payload: bytes, width: int, height: int, fake: bool = Fals
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (REAL, not a stub — no codec
+    needed): output pixel (r, c) samples input pixel
+    (floor(r*H/out_h), floor(c*W/out_w))."""
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    media_df: DataFrame, out_w: int = 64, out_h: int = 36,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> per-channel features of the
+    thumbnail, Arrow-batched. The resize itself is real numpy; only the
+    codec slot is stubbed (no PIL/ffmpeg in this container)."""
+    schema = (
+        "doc_id long, out_w int, out_h int, mean_r double, mean_g double, "
+        "mean_b double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_image_stub(
+                    bytes(r["payload"]), int(r["width"]), int(r["height"]),
+                    fake=fake_decode,
+                )
+                thumb = resize_nearest(img, out_w, out_h).astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "out_w": out_w, "out_h": out_h,
+                        "mean_r": float(thumb[:, :, 0].mean()),
+                        "mean_g": float(thumb[:, :, 1].mean()),
+                        "mean_b": float(thumb[:, :, 2].mean()),
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+def decode_video_stub(
+    payload: bytes, n_frames: int, width: int, height: int, fake: bool = False
+) -> np.ndarray:
+    """Video codec slot: (n_frames, h, w, 3) uint8. Real decoders absent;
+    the fake chains the image stub per frame (seed = md5(payload || idx))."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic test double"
+        )
+    frames = [
+        decode_image_stub(
+            hashlib.md5(payload + idx.to_bytes(4, "big")).digest(),
+            width, height, fake=True,
+        )
+        for idx in range(n_frames)
+    ]
+    return np.stack(frames)
+
+
+def synthesize_video_table(docs_df: DataFrame, max_frames: int = 24) -> DataFrame:
+    """Deterministic opaque video payloads + typed metadata (small frame
+    dims — videos are frame stacks): n_frames/width/height hash-derived."""
+    d = F.col("doc_id").cast("string")
+    def hcol(tag, mod, add):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(tag), d)), 1, 15), 16, 10)
+            .cast("bigint") % mod + add
+        ).cast("int")
+
+    return docs_df.select(
+        "doc_id",
+        F.concat(F.lit("video://"), d).alias("media_ref"),
+        F.unhex(F.md5(F.concat(F.lit("video-"), d))).alias("payload"),
+        F.lit("video/mp4").alias("media_kind"),
+        hcol("vw-", 320, 16).alias("width"),
+        hcol("vh-", 180, 16).alias("height"),
+        hcol("vf-", max_frames, 2).alias("n_frames"),
+    )
+
+
+def sample_video_frames(
+    media_df: DataFrame, every_k: int = 3, fake_decode: bool = True
+) -> DataFrame:
+    """Frame sampling: decode -> keep every k-th frame -> per-frame mean
+    gray. One output row per sampled frame (the batch shape a training
+    pipeline feeds to a vision encoder)."""
+    schema = "doc_id long, frame_idx int, n_frames int, mean_gray double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = int(r["n_frames"])
+                vid = decode_video_stub(
+                    bytes(r["payload"]), n, int(r["width"]), int(r["height"]),
+                    fake=fake_decode,
+                )
+                for idx in range(0, n, every_k):
+                    rows.append(
+                        {
+                            "doc_id": int(r["doc_id"]),
+                            "frame_idx": idx,
+                            "n_frames": n,
+                            "mean_gray": float(vid[idx].mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["doc_id", "frame_idx", "n_frames", "mean_gray"]
+            )
+
+    return media_df.mapInPandas(kernel, schema)
+
+
 def extract_image_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame:
     """decode -> per-channel mean/std feature extraction, Arrow-batched.
 

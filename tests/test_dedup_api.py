@@ -50,3 +50,46 @@ def test_custom_column_names(spark, docs):
     renamed = docs.selectExpr("doc_id as id", "text as body", "lang")
     out = DD.dedup_exact(renamed, text_col="body", id_col="id")
     assert out.count() == docs.count()
+
+
+def test_resize_nearest_exact():
+    """Pure-numpy nearest-neighbor resize: exact index-map semantics
+    (output (r,c) = input (floor(r*H/oh), floor(c*W/ow))), shape checks,
+    identity at same size, and determinism through the stub decode chain."""
+    import numpy as np
+
+    from geojson_vt_cpp_spark.operators.multimodal import (
+        decode_image_stub,
+        resize_nearest,
+    )
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    out = resize_nearest(img, 3, 2)
+    assert out.shape == (2, 3, 3)
+    for r in range(2):
+        for c in range(3):
+            assert (out[r, c] == img[(r * 5) // 2, (c * 7) // 3]).all()
+    assert (resize_nearest(img, 7, 5) == img).all()  # identity
+    up = resize_nearest(img, 14, 10)                 # upscale replicates
+    assert up.shape == (10, 14, 3)
+    assert (up[::2, ::2] == img).all()
+    a = resize_nearest(decode_image_stub(b"x", 100, 60, fake=True), 8, 8)
+    b = resize_nearest(decode_image_stub(b"x", 100, 60, fake=True), 8, 8)
+    assert (a == b).all()
+
+
+def test_video_frame_sampling_spark(spark):
+    """sample_video_frames plumbing: one row per every-3rd frame, counts
+    derived from the hash metadata, deterministic."""
+    from geojson_vt_cpp_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_video_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 8")
+    media = synthesize_video_table(docs)
+    out = sample_video_frames(media, every_k=3).collect()
+    meta = {r["doc_id"]: r["n_frames"] for r in media.collect()}
+    want_rows = sum((n + 2) // 3 for n in meta.values())
+    assert len(out) == want_rows
+    assert all(r["frame_idx"] % 3 == 0 and r["frame_idx"] < r["n_frames"] for r in out)
