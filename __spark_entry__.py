@@ -206,6 +206,18 @@ IVF_ORACLE = """
 """
 
 
+def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k through the real operator
+    (operators/dedup.py cosine_top_k): same dual-dialect score formula as
+    the windowed DuckDB oracle, but the top-k plans as
+    TakeOrderedAndProject (distributed partial top-k), not a global
+    single-task window."""
+    from geojson_vt_cpp_spark.operators.dedup import cosine_top_k
+
+    _register_views(spark, sf_dir)
+    return cosine_top_k(spark.table("embeddings"), k=10)
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> canonical keeper
     (operators/dedup.py) — the clustering stage a production training-data
@@ -371,6 +383,10 @@ def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(src)
+    # drop the previous call's memory sink (it holds full results in driver
+    # memory) before registering a new one
+    if _STREAM_SINK_SEQ[0] > 0:
+        spark.catalog.dropTempView(f"gvt_hourly_sink_{_STREAM_SINK_SEQ[0]}")
     _STREAM_SINK_SEQ[0] += 1
     sink = f"gvt_hourly_sink_{_STREAM_SINK_SEQ[0]}"
     q = (
@@ -382,7 +398,13 @@ def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished:
+        # timed out: stop the query BEFORE deleting its checkpoint/source out
+        # from under it, and fail rather than return a partial memory sink
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("stream_events_hourly did not finish within 600 s")
     # the memory sink holds the rows in-session; the staged source files and
     # checkpoint are no longer needed
     shutil.rmtree(work, ignore_errors=True)
@@ -474,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_runner(name) for name in D.queries_sql("spark")
     }
+    qs["sim_cosine_topk"] = _sim_cosine_topk
     qs["geo_pip_triangles"] = _geo_pip_triangles
     qs["geo_knn_sites"] = _geo_knn_sites
     qs["sim_ivf_search"] = _sim_ivf_search

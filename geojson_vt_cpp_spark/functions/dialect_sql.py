@@ -91,6 +91,29 @@ def _vec_elems(dialect: str, table: str = "embeddings") -> str:
     )
 
 
+def cosine_scores_sql(dialect: str, table: str = "embeddings") -> str:
+    """(vec_id, cosine) of every vector vs the query vector (vec_id=0),
+    rounded to 6 dp — the shared score formula for both the windowed oracle
+    (sim_cosine_topk) and the engine's distributed top-k operator."""
+    elems = _vec_elems(dialect, table)
+    return " ".join(
+        f"""
+        with e as ({elems}),
+        qv as (select i, x as qx from e where vec_id = 0),
+        dots as (
+          select e.vec_id,
+                 sum(e.x * qv.qx) as dot,
+                 sum(e.x * e.x) as nx,
+                 sum(qv.qx * qv.qx) as nq
+          from e join qv on e.i = qv.i
+          group by e.vec_id
+        )
+        select vec_id, round(dot / (sqrt(nx) * sqrt(nq)), 6) as cosine
+        from dots where vec_id <> 0
+    """.split()
+    )
+
+
 def queries_sql(dialect: str) -> dict[str, str]:
     """All dual-dialect queries, keyed like __spark_entry__.queries()."""
     d = dialect
@@ -333,21 +356,13 @@ def queries_sql(dialect: str) -> dict[str, str]:
 
     # ---- similarity over embeddings -----------------------------------------
     elems = _vec_elems(d)
+    # oracle form only: the global row_number window is what DuckDB needs for
+    # the hash comparison; the engine's operator (operators/dedup.py
+    # cosine_top_k) computes the same `cos` scores then takes the top-k with
+    # orderBy().limit() (TakeOrderedAndProject — distributed partial top-k),
+    # stamping sim_rank over the k survivors only.
     q["sim_cosine_topk"] = f"""
-        with e as ({elems}),
-        qv as (select i, x as qx from e where vec_id = 0),
-        dots as (
-          select e.vec_id,
-                 sum(e.x * qv.qx) as dot,
-                 sum(e.x * e.x) as nx,
-                 sum(qv.qx * qv.qx) as nq
-          from e join qv on e.i = qv.i
-          group by e.vec_id
-        ),
-        cos as (
-          select vec_id, round(dot / (sqrt(nx) * sqrt(nq)), 6) as cosine
-          from dots where vec_id <> 0
-        ),
+        with cos as ({cosine_scores_sql(d)}),
         ranked as (
           select vec_id, cosine,
                  row_number() over (order by cosine desc, vec_id asc) as sim_rank

@@ -102,9 +102,30 @@ def _run_emb(df: DataFrame, name: str, vec_col: str = "embedding",
     return df.sparkSession.sql(sql)
 
 
-def cosine_top_k(embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Brute-force cosine top-k vs the query vector (vec_id=0 by template)."""
-    return _run_emb(embs, "sim_cosine_topk", vec_col, id_col)
+def cosine_top_k(embs: DataFrame, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine top-k vs the query vector (vec_id=0 by template).
+
+    Scale shape: scores come from the shared dual-dialect formula
+    (dialect_sql.cosine_scores_sql — same rounded values the DuckDB oracle
+    computes), but the top-k is ``orderBy().limit(k)`` which Catalyst plans
+    as TakeOrderedAndProject (map-side partial top-k per partition, k-row
+    merge) — NOT the oracle's global single-task row_number window, which
+    would funnel every vector through one task at 10^12 scale. The rank
+    stamp window below runs over the k survivors only.
+    """
+    from pyspark.sql.window import Window
+
+    tmp = f"emb_{uuid.uuid4().hex[:8]}"
+    embs.selectExpr(f"{id_col} as vec_id", f"{vec_col} as embedding").createOrReplaceTempView(tmp)
+    scores = embs.sparkSession.sql(
+        D.cosine_scores_sql("spark").replace("embeddings", tmp)
+    )
+    topk = scores.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return topk.withColumn("sim_rank", F.row_number().over(w)).select(
+        "vec_id", "cosine", "sim_rank"
+    )
 
 
 def lsh_buckets(embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -146,6 +167,7 @@ def connected_components(
         F.col(node_col).cast("long").alias("comp"),
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         msgs = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "comp"
@@ -159,8 +181,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # min-label propagation needs O(component diameter) rounds; returning
+        # here would silently hand back wrong labels (and dedup_clusters
+        # would pick wrong keepers), so fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (component diameter exceeds the bound); raise max_iters"
+        )
     return labels
 
 

@@ -82,16 +82,19 @@ def resize_images(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # column-array zip, not iterrows: no per-row Series construction
             rows = []
-            for _, r in pdf.iterrows():
+            for doc_id, payload, width, height in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"],
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+            ):
                 img = decode_image_stub(
-                    bytes(r["payload"]), int(r["width"]), int(r["height"]),
-                    fake=fake_decode,
+                    bytes(payload), int(width), int(height), fake=fake_decode
                 )
                 thumb = resize_nearest(img, out_w, out_h).astype(np.float64)
                 rows.append(
                     {
-                        "doc_id": int(r["doc_id"]),
+                        "doc_id": int(doc_id),
                         "out_w": out_w, "out_h": out_h,
                         "mean_r": float(thumb[:, :, 0].mean()),
                         "mean_g": float(thumb[:, :, 1].mean()),
@@ -157,16 +160,19 @@ def sample_video_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                n = int(r["n_frames"])
+            for doc_id, payload, width, height, n_frames in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"],
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["n_frames"].to_numpy(),
+            ):
+                n = int(n_frames)
                 vid = decode_video_stub(
-                    bytes(r["payload"]), n, int(r["width"]), int(r["height"]),
-                    fake=fake_decode,
+                    bytes(payload), n, int(width), int(height), fake=fake_decode
                 )
                 for idx in range(0, n, every_k):
                     rows.append(
                         {
-                            "doc_id": int(r["doc_id"]),
+                            "doc_id": int(doc_id),
                             "frame_idx": idx,
                             "n_frames": n,
                             "mean_gray": float(vid[idx].mean()),
@@ -194,17 +200,19 @@ def extract_image_features(media_df: DataFrame, fake_decode: bool = True) -> Dat
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for doc_id, payload, width, height in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"],
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+            ):
                 img = decode_image_stub(
-                    bytes(r["payload"]), int(r["width"]), int(r["height"]),
-                    fake=fake_decode,
+                    bytes(payload), int(width), int(height), fake=fake_decode
                 )
                 gray = img.mean(axis=2)
                 rows.append(
                     {
-                        "doc_id": int(r["doc_id"]),
-                        "width": int(r["width"]),
-                        "height": int(r["height"]),
+                        "doc_id": int(doc_id),
+                        "width": int(width),
+                        "height": int(height),
                         "mean_r": float(img[:, :, 0].mean()),
                         "mean_g": float(img[:, :, 1].mean()),
                         "mean_b": float(img[:, :, 2].mean()),

@@ -30,7 +30,6 @@ N_POINTS = 120_000
 
 def build_polys(spark):
     from geojson_vt_cpp_spark.operators.convert import extract_features
-    from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "fixtures", "us-states.json")) as f:
@@ -58,7 +57,6 @@ def build_polys(spark):
         return json.dumps({"type": "FeatureCollection", "features": feats})
 
     texts = [shifted(i) for i in range(N_COPIES)]
-    docs = documents_from_fixture(spark, texts[0], "hot-0")
     from geojson_vt_cpp_spark.sources.documents import DOCUMENTS_SCHEMA
 
     rows = [

@@ -37,7 +37,16 @@ def test_text_operators_run_and_agree(spark, docs):
 
 
 def test_embedding_operators(spark, embs):
-    topk = DD.cosine_top_k(embs).collect()
+    topk_df = DD.cosine_top_k(embs)
+    # scale-shape evidence: the operator's top-k is TakeOrderedAndProject
+    # (distributed partial top-k), and the only Window is the rank stamp
+    # AFTER the k-row limit — never a global window over every vector
+    plan = topk_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    window_pos = plan.find("Window")
+    take_pos = plan.find("TakeOrderedAndProject")
+    assert window_pos == -1 or window_pos < take_pos, plan  # window consumes the limit
+    topk = topk_df.collect()
     assert len(topk) == 10
     assert [r["sim_rank"] for r in sorted(topk, key=lambda r: r["sim_rank"])] == list(range(1, 11))
     assert DD.lsh_buckets(embs).count() == embs.count()

@@ -60,6 +60,20 @@ def test_long_chain_converges(spark):
     assert {(r["id"], r["comp"]) for r in comp.collect()} == {(i, 0) for i in range(n)}
 
 
+def test_non_convergence_raises(spark):
+    # a chain whose diameter exceeds max_iters must fail loudly, not return
+    # partially-propagated (wrong) labels
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            pairs, docs, src="doc_a", dst="doc_b", node_col="doc_id", max_iters=3
+        )
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(7)
     n = 80
