@@ -460,16 +460,9 @@ def clip_geom(
     multipoints use the closed-interval filter; POINT passes through
     unchanged (the reference never clips a bare point, ``clip.hpp:23-25``).
 
-    The reference keeps features whose clipped geometry came out empty
-    (clip.hpp:297-312, sentinel bbox); those are observationally invisible
-    in TILE OUTPUT (0 points, never emitted), so this kernel returns None
-    and the operator layer drops the row. Known internal-counter divergence:
-    because such rows survive as reference source features, a later
-    drill-down there registers child tiles in total/stats where this engine
-    returns EMPTY_TILE without registering — e.g. a disconnected multipoint
-    straddling a clip boundary, then get_tile into the empty half. Tile
-    features are identical either way; only the total/stats counters differ
-    for that degenerate shape.
+    Returns None when nothing remains; :func:`clip_feature` converts that
+    into the reference's retained empty-geometry feature (clip.hpp:297-312)
+    so drill-down total/stats match on degenerate inputs too.
     """
     gt = g.gtype
     if gt == GT_EMPTY or gt == GT_POINT:
@@ -580,6 +573,19 @@ def clip_feature(
     (``clip.hpp:287-311``). EMPTY geometries carry the inverted bbox
     sentinel (min=2 > max=-1) which trivially accepts, matching the
     reference's behavior of empties surviving every clip.
+
+    When the geometric clip leaves nothing, the reference still emplaces the
+    empty result geometry with its props/id (``clip.hpp:297-301`` — the
+    generic match arm takes empty multipoints/polygons, and empty multilines
+    too when lineMetrics is off); the retained feature carries the inverted
+    bbox sentinel, so every later clip trivially accepts it and drill-downs
+    below it keep registering (empty) child tiles in total/stats. This
+    function mirrors that with a zero-point placeholder Geom of the type the
+    reference's clipper would return (line -> MULTILINE at != 1 slices,
+    others keep their type). Under lineMetrics an empty line clip fans out
+    to zero per-slice features (``clip.hpp:303-307``) — a genuine drop.
+    Tile OUTPUT is unaffected either way: transform_tile emits nothing for
+    zero-point geometries.
     """
     if minv >= k1 and maxv < k2:
         return "accept"
@@ -587,7 +593,12 @@ def clip_feature(
         return []
     out = clip_geom(g, axis, k1, k2, line_metrics)
     if out is None:
-        return []
+        gt = g.gtype
+        if gt in (GT_LINE, GT_MULTILINE):
+            if line_metrics:
+                return []  # per-slice fan-out of an empty multiline
+            return [Geom(GT_MULTILINE)]
+        return [Geom(gt)]  # empty multipoint / polygon / multipolygon
     if line_metrics and out.gtype == GT_MULTILINE:
         # each slice becomes its own feature, in slice order
         feats = []

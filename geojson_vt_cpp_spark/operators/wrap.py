@@ -34,9 +34,10 @@ def wrap_features(feats: DataFrame, buffer: float, line_metrics: bool) -> DataFr
 
     Emptiness of the side copies is decided by the same per-feature
     accept/reject predicates the clip applies (clip.hpp:287-293), folded
-    into one aggregate; EMPTY-geometry features carry the inverted bbox
-    sentinel and are trivially accepted by every window, so their presence
-    alone activates wrap (faithful to the reference).
+    into one aggregate; zero-point features (EMPTY geometry or a retained
+    empty clip result) carry the inverted bbox sentinel (minx > maxx) and
+    are trivially accepted by every window, so their presence alone
+    activates wrap (faithful to the reference).
     """
     agg = feats.agg(
         F.sum(
@@ -45,7 +46,7 @@ def wrap_features(feats: DataFrame, buffer: float, line_metrics: bool) -> DataFr
         F.sum(
             ((F.col("maxx") >= 1 - buffer) & (F.col("minx") < 2 + buffer)).cast("int")
         ).alias("n_right"),
-        F.sum((F.col("gtype") == 0).cast("int")).alias("n_empty"),
+        F.sum((F.col("minx") > F.col("maxx")).cast("int")).alias("n_empty"),
     ).first()
     n_left = (agg["n_left"] or 0) + (agg["n_empty"] or 0)
     n_right = (agg["n_right"] or 0) + (agg["n_empty"] or 0)
