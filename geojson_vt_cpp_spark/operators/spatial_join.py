@@ -406,17 +406,35 @@ def knn_join(
     ring: int = 1,
     query_cols: tuple[str, str, str] = ("query_id", "qx", "qy"),
     site_cols: tuple[str, str, str] = ("site_id", "sx", "sy"),
+    fallback: str = "auto",
+    broadcast_max_sites: int = 2_000_000,
 ) -> DataFrame:
     """Exact k-nearest-sites per query (Euclidean in projected space).
 
     Phase 1: join each query's (2*ring+1)^2 cell neighborhood at ``res``
     against site cells; a query is CERTIFIED when it has >= k candidates and
     its kth candidate distance < ring*cell_size (any site close enough to
-    beat the kth must then lie inside the joined neighborhood). Phase 2: uncertified
-    queries (typically a tiny fraction) join against ALL sites broadcast —
-    bounded, exact, no iteration.
+    beat the kth must then lie inside the joined neighborhood).
 
-    Ties broken by (dist2, site_id) so results are deterministic.
+    Phase 2 (the uncertified stragglers — certification is density-sized so
+    these are rare):
+
+    - ``fallback="broadcast"``: brute force against ALL sites broadcast.
+      Exact and one-shot, but only sound when the site table fits in
+      executor memory — the small-dims case, NOT the 100-TB case.
+    - ``fallback="ring"``: iterative ring doubling — re-join only the
+      pending queries at ring 2r, 4r, ... (cell-clamped ``sequence``
+      explodes, so wide rings never build giant literal arrays), accepting
+      each query as soon as it certifies at its ring; when the ring covers
+      the whole grid the join IS the exhaustive join and every remaining
+      query is exact by construction. O(log(n/ring)) rounds, all ordinary
+      equi-joins Catalyst/AQE can shuffle or broadcast by its own sizing —
+      nothing forces the full site table through one executor.
+    - ``fallback="auto"`` (default): broadcast when ``sites_df`` has at
+      most ``broadcast_max_sites`` rows (one count job), else ring.
+
+    Both fallbacks produce identical rows (same tie-breaks: dist2, site_id),
+    so results are deterministic regardless of path.
     """
     qid, qx, qy = query_cols
     sid, sx, sy = site_cols
@@ -480,19 +498,71 @@ def knn_join(
     )
     good = ranked.join(cert.where("certified").select(qid), qid, "inner")
 
-    # stragglers: brute force against broadcast sites (exact fallback)
-    bad_q = queries_df.join(
+    # stragglers: uncertified queries plus queries with zero candidates
+    bad_q = qcell.join(
         cert.where(~F.col("certified")).select(qid), qid, "inner"
     ).unionByName(
-        queries_df.join(cert.select(qid), qid, "left_anti")  # zero candidates
+        qcell.join(cert.select(qid), qid, "left_anti")
     )
-    brute = (
-        bad_q.crossJoin(F.broadcast(sites_df.select(sid, sx, sy)))
-        .select(qid, qx, qy, sid, d2.alias("dist2"))
-        .withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= k)
-    )
-    return good.unionByName(brute)
+
+    if fallback == "auto":
+        fallback = (
+            "broadcast" if sites_df.count() <= broadcast_max_sites else "ring"
+        )
+    if fallback == "broadcast":
+        brute = (
+            bad_q.crossJoin(F.broadcast(sites_df.select(sid, sx, sy)))
+            .select(qid, qx, qy, sid, d2.alias("dist2"))
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+        )
+        return good.unionByName(brute)
+    if fallback != "ring":
+        raise ValueError(f"unknown fallback {fallback!r}")
+
+    def neighborhood(qdf: DataFrame, r: int) -> DataFrame:
+        # clamped sequences: (2r+1)^2 neighbor cells without literal arrays
+        return qdf.withColumn(
+            "ix",
+            F.explode(F.sequence(
+                F.greatest(F.col("qix") - r, F.lit(0)),
+                F.least(F.col("qix") + r, F.lit(n - 1)),
+            )),
+        ).withColumn(
+            "iy",
+            F.explode(F.sequence(
+                F.greatest(F.col("qiy") - r, F.lit(0)),
+                F.least(F.col("qiy") + r, F.lit(n - 1)),
+            )),
+        ).select(qid, qx, qy, "ix", "iy")
+
+    parts = [good]
+    pending = bad_q.localCheckpoint()
+    r = ring
+    while not pending.isEmpty():
+        r *= 2
+        ranked_r = (
+            neighborhood(pending, r)
+            .join(scell, ["ix", "iy"], "inner")
+            .select(qid, qx, qy, sid, d2.alias("dist2"))
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .localCheckpoint()
+        )
+        if r >= n:  # ring covers the grid: exhaustive, exact by construction
+            parts.append(ranked_r)
+            break
+        cert_r = ranked_r.groupBy(qid).agg(
+            F.count("*").alias("n_cand"), F.max("dist2").alias("kth_d2")
+        ).where(
+            (F.col("n_cand") >= k) & (F.col("kth_d2") < F.lit((r * cell_size) ** 2))
+        ).select(qid)
+        parts.append(ranked_r.join(cert_r, qid, "inner"))
+        pending = pending.join(cert_r, qid, "left_anti").localCheckpoint()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

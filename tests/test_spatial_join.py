@@ -145,6 +145,49 @@ def test_knn_vs_exhaustive(spark):
         assert gotl == want, f"query {i}: {gotl} != {want}"
 
 
+def test_knn_ring_fallback_exact_no_site_broadcast(spark):
+    """Scale-safe straggler path: isolated queries that cannot certify at
+    ring 1 are resolved by ring doubling (never by broadcasting the full
+    site table), with exhaustive-oracle exactness — including a query so
+    remote the ring must cover the whole grid, and k > n_sites."""
+    rng = np.random.RandomState(3)
+    # clustered sites + far-away queries: phase-1 finds zero candidates
+    sites = rng.uniform(0.05, 0.15, size=(40, 2))
+    queries = np.vstack([
+        rng.uniform(0.05, 0.15, size=(30, 2)),  # certify at ring 1
+        np.array([[0.95, 0.95], [0.5, 0.92], [0.9, 0.1]]),  # isolated
+    ])
+    qdf = spark.createDataFrame(
+        [(f"q{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(queries)],
+        "query_id string, qx double, qy double",
+    )
+    sdf = spark.createDataFrame(
+        [(f"s{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(sites)],
+        "site_id string, sx double, sy double",
+    )
+    got = knn_join(qdf, sdf, k=5, res=5, ring=1, fallback="ring")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["knn_rank"], r["site_id"]))
+    d2 = ((queries[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(queries)):
+        order = sorted(range(len(sites)), key=lambda j: (d2[i, j], f"s{j:04d}"))[:5]
+        want = [f"s{j:04d}" for j in order]
+        gotl = [s for _, s in sorted(by_q[f"q{i:04d}"])]
+        assert gotl == want, f"query {i}: {gotl} != {want}"
+
+    # k exceeding the site count: full-cover terminal returns every site
+    got_all = knn_join(qdf.limit(2), sdf.limit(3), k=5, res=5, ring=1,
+                       fallback="ring").collect()
+    per_q = {}
+    for r in got_all:
+        per_q.setdefault(r["query_id"], []).append(r["site_id"])
+    assert all(sorted(v) == ["s0000", "s0001", "s0002"] for v in per_q.values())
+
+
 def test_raster_vector_overlay(spark):
     docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
     pyr = TilePyramid.from_documents(docs, Options(index_max_zoom=7, index_max_points=200, max_zoom=14))
