@@ -153,11 +153,25 @@ class TilePyramid:
         features_df: DataFrame,
         options: Options | None = None,
         pre_wrapped: bool = False,
+        workdir: str | None = None,
     ):
         """``pre_wrapped=True`` skips the antimeridian wrap for callers that
         already ran wrap_features (e.g. the checkpointed pipeline's
         'wrapped' stage) — wrapping twice would duplicate dateline side
-        copies and triple GT_EMPTY features."""
+        copies and triple GT_EMPTY features.
+
+        ``workdir`` switches the per-zoom BFS checkpoints from
+        ``localCheckpoint`` (local mode, lineage truncation only) to
+        manifest-gated TableIO parquet stages (``pyr_base``,
+        ``pyr_level_00``, ...): a build killed MID-ZOOM resumes idempotently
+        — completed levels read back from their manifests (same inputs +
+        options fingerprint), the interrupted level re-runs from its
+        resumed parent, and the driver-side meta/stats are recomputed
+        deterministically from the level data. This is the cluster-scale
+        checkpoint path the reliable-resume north rule requires.
+        """
+        import json as _json
+
         self.o = options or Options()
         self.spark = features_df.sparkSession
         self.meta: dict[tuple[int, int, int], _Meta] = {}
@@ -167,6 +181,15 @@ class TilePyramid:
         self._extra_assigned: list[DataFrame] = []
         self._tile_features: DataFrame | None = None
         self._tile_cache: dict[tuple[int, int, int], Tile] = {}
+        self._io = None
+        self._fp = ""
+        if workdir is not None:
+            from geojson_vt_cpp_spark.sources.table_io import TableIO
+
+            self._io = TableIO(self.spark, workdir)
+            self._fp = _json.dumps(self.o.__dict__, sort_keys=True) + (
+                f"|pre_wrapped={pre_wrapped}"
+            )
 
         # materialize-and-truncate the convert output once: wrap alone
         # references it 4x (one agg + three clip passes), and the BFS adds a
@@ -174,6 +197,23 @@ class TilePyramid:
         # plan shallow (local mode; the workdir/TableIO path uses reliable
         # parquet checkpoints instead at cluster scale)
         self._n_parts = max(features_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+        if self._io is not None:
+            base = self._io.run_stage(
+                "pyr_base",
+                lambda: (
+                    features_df.repartition(self._n_parts)
+                    if pre_wrapped
+                    else wrap_features(
+                        features_df.repartition(self._n_parts).localCheckpoint(),
+                        self.o.buffer / self.o.extent,
+                        self.o.line_metrics,
+                    )
+                ),
+                fingerprint=self._fp,
+            )
+            self._prev_snap = base.snapshot_id
+            self._build(base.df)
+            return
         features_df = features_df.repartition(self._n_parts).localCheckpoint()
         feats = (
             features_df
@@ -222,7 +262,20 @@ class TilePyramid:
             # spatially skewed and coalesce would carry that skew into every
             # downstream kernel task (straggler-bound wall time); the shuffle
             # itself is cheap relative to the kernels it balances
-            assigned = assigned.repartition(self._n_parts).localCheckpoint()
+            if self._io is not None:
+                # manifest-gated level checkpoint: a killed build resumes
+                # here — completed levels read back, this one re-runs
+                lvl_df = assigned  # bind before reassignment (closure)
+                res = self._io.run_stage(
+                    f"pyr_level_{z:02d}",
+                    lambda: lvl_df.repartition(self._n_parts),
+                    inputs=(self._prev_snap,),
+                    fingerprint=self._fp,
+                )
+                assigned = res.df
+                self._prev_snap = res.snapshot_id
+            else:
+                assigned = assigned.repartition(self._n_parts).localCheckpoint()
             self._level_assigned[z] = assigned
             stats = {
                 (r["tx"], r["ty"]): (r["npts"], r["nrows"])

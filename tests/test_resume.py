@@ -69,6 +69,64 @@ def test_kill_mid_run_resumes_remaining_stages(spark, tmp_path):
     assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
 
 
+def test_pyramid_mid_bfs_kill_resumes_from_level_manifests(spark, tmp_path, monkeypatch):
+    """A pyramid build killed MID-ZOOM (between level checkpoints) resumes
+    idempotently through the TableIO workdir path: completed pyr_level_*
+    manifests are read back untouched (snapshot ids unchanged), the
+    interrupted level re-runs, and the finished pyramid is identical to a
+    clean localCheckpoint build — VERDICT r2 item 5."""
+    from geojson_vt_cpp_spark.operators import pyramid as P
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+
+    opts = Options(index_max_zoom=4, index_max_points=200, max_zoom=14)
+    wd = str(tmp_path / "midkill")
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    tol = (opts.tolerance / opts.extent) / (1 << opts.max_zoom)
+    feats = extract_features(docs, tol)
+
+    real_split = P.split_children
+    calls = {"n": 0}
+
+    def killer(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated mid-BFS kill")
+        return real_split(*a, **k)
+
+    monkeypatch.setattr(P, "split_children", killer)
+    with pytest.raises(RuntimeError, match="mid-BFS kill"):
+        P.TilePyramid(feats, opts, workdir=wd)
+    monkeypatch.setattr(P, "split_children", real_split)
+
+    io = TableIO(spark, wd)
+    done = [n for n in ("pyr_base", "pyr_level_00", "pyr_level_01", "pyr_level_02")
+            if io.read_manifest(n)]
+    assert "pyr_base" in done and "pyr_level_00" in done and "pyr_level_01" in done
+    assert io.read_manifest("pyr_level_04") is None  # genuinely mid-build
+    before = {n: io.read_manifest(n)["snapshot_id"] for n in done}
+
+    pyr = P.TilePyramid(feats, opts, workdir=wd)  # resume
+    after = {n: io.read_manifest(n)["snapshot_id"] for n in done}
+    assert after == before  # completed levels resumed, not rewritten
+    assert io.read_manifest("pyr_level_04") is not None  # BFS finished
+
+    clean = P.TilePyramid(feats, opts)
+    assert pyr.total == clean.total
+    assert pyr.stats == clean.stats
+    assert set(pyr.meta) == set(clean.meta)
+    key = ["z", "tx", "ty", "copy_tag", "doc_id", "span_idx", "feature_idx",
+           "member_seq", "slice_path", "out_type"]
+    got = sorted(tuple(r[c] for c in key) for r in pyr.tile_features().collect())
+    want = sorted(tuple(r[c] for c in key) for r in clean.tile_features().collect())
+    assert got == want
+    # drill-down works off the parquet-backed level data
+    t = pyr.get_tile(7, 37, 48)
+    tc = clean.get_tile(7, 37, 48)
+    assert len(t.features) == len(tc.features) > 0
+    pyr.close()
+    clean.close()
+
+
 def test_checkpointed_pipeline_no_double_wrap(spark, tmp_path):
     """Dateline-adjacent input: the checkpointed pipeline (which persists a
     'wrapped' stage) must produce exactly the tile features of a direct
