@@ -145,45 +145,76 @@ def connected_components(
     dst: str = "dst",
     node_col: str = "id",
     max_iters: int = 20,
+    table_io=None,
+    stage_prefix: str = "cc",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
     ``edges`` may be directed pairs (a < b is fine) — they are symmetrized
     here. Nodes absent from ``edges`` keep themselves as their component
     (singleton clusters).
+
+    Skew shape: a hub node of a giant component puts all its edges on one
+    join key, which AQE skew-split handles, and the per-round
+    ``groupBy(id).agg(min)`` is partial-aggregable so the hub's fan-in is
+    absorbed map-side (measured: ``scripts/cc_hot_component_bench.py``).
+
+    ``table_io`` (a :class:`~geojson_vt_cpp_spark.sources.table_io.TableIO`)
+    swaps the per-round ``localCheckpoint`` for manifest-gated parquet
+    stages (``{stage_prefix}_edges``, ``{stage_prefix}_round_NN``) — the
+    cluster-scale path: a killed run resumes at the last completed round.
+    ``stats_out`` (a dict) receives ``rounds`` — the number of propagation
+    rounds until the sum fixpoint confirmed.
     """
     spark = edges.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    sym = (
+
+    def ckpt(df: DataFrame, key: str, name: str, inputs: tuple = ()) -> tuple[DataFrame, str]:
+        if table_io is None:
+            return df.repartition(n_parts, key).localCheckpoint(), ""
+        res = table_io.run_stage(
+            f"{stage_prefix}_{name}",
+            lambda: df.repartition(n_parts, key),
+            inputs=inputs,
+            fingerprint=f"cc|max_iters={max_iters}",
+        )
+        return res.df, res.snapshot_id
+
+    sym, sym_snap = ckpt(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
         .unionByName(
             edges.select(F.col(dst).cast("long").alias("src"), F.col(src).cast("long").alias("dst"))
-        )
-        .repartition(n_parts, "dst")
-        .localCheckpoint()
+        ),
+        "dst",
+        "edges",
     )
     labels = nodes.select(
         F.col(node_col).cast("long").alias("id"),
         F.col(node_col).cast("long").alias("comp"),
     )
     prev_sum = None
+    prev_snap = sym_snap
     converged = False
-    for _ in range(max_iters):
+    rounds = 0
+    for i in range(max_iters):
         msgs = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "comp"
         )
-        labels = (
+        nxt = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .repartition(n_parts, "id")
-            .localCheckpoint()
         )
+        labels, prev_snap = ckpt(nxt, "id", f"round_{i:02d}", (sym_snap, prev_snap))
+        rounds = i + 1
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     if not converged:
         # min-label propagation needs O(component diameter) rounds; returning
         # here would silently hand back wrong labels (and dedup_clusters

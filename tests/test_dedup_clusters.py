@@ -60,6 +60,37 @@ def test_long_chain_converges(spark):
     assert {(r["id"], r["comp"]) for r in comp.collect()} == {(i, 0) for i in range(n)}
 
 
+def test_tableio_rounds_match_and_resume(spark, tmp_path):
+    """table_io= swaps per-round localCheckpoint for manifest-gated parquet
+    stages: identical labels, and a second run resumes every round from its
+    manifest (snapshot ids unchanged)."""
+    from geojson_vt_cpp_spark.sources.table_io import TableIO
+
+    edges = [(0, 1), (1, 2), (2, 3), (5, 6)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    want = {(r["id"], r["comp"]) for r in connected_components(
+        pairs, docs, src="doc_a", dst="doc_b", node_col="doc_id").collect()}
+
+    wd = str(tmp_path / "cc")
+    io = TableIO(spark, wd)
+    stats: dict = {}
+    got = {(r["id"], r["comp"]) for r in connected_components(
+        pairs, docs, src="doc_a", dst="doc_b", node_col="doc_id",
+        table_io=io, stats_out=stats).collect()}
+    assert got == want and stats["rounds"] >= 4  # chain diameter 3 + confirm
+
+    snaps = {
+        n: io.read_manifest(n)["snapshot_id"]
+        for n in ["cc_edges"] + [f"cc_round_{i:02d}" for i in range(stats["rounds"])]
+    }
+    got2 = {(r["id"], r["comp"]) for r in connected_components(
+        pairs, docs, src="doc_a", dst="doc_b", node_col="doc_id",
+        table_io=TableIO(spark, wd)).collect()}
+    assert got2 == want
+    assert {n: io.read_manifest(n)["snapshot_id"] for n in snaps} == snaps
+
+
 def test_non_convergence_raises(spark):
     # a chain whose diameter exceeds max_iters must fail loudly, not return
     # partially-propagated (wrong) labels
