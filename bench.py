@@ -123,6 +123,9 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
         return n
 
     timed("pyramid_build", q_pyramid)
+    # driver-state boundedness evidence: the tile registry must stay within
+    # sum(4^z, z<=indexMaxZoom) = 1365 no matter the corpus multiplier
+    pyr_total = pyr_box["pyr"].total if "pyr" in pyr_box else 0
 
     # 2. point-in-polygon join: sf customer points (replicated with the
     #    corpus multiplier so the join workload scales with it) vs polygons
@@ -182,6 +185,12 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
 
     total = round(sum(timings.values()), 3)
     produced = counts["pyramid_build"] + counts["pip_join"] + counts["knn_join"]
+    try:
+        import resource
+
+        rss_mb = int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+    except Exception:
+        rss_mb = None
     return {
         "timings": timings,
         "counts": counts,
@@ -189,6 +198,8 @@ def run_workload(spark, sf_dir: str, cpus: int) -> dict:
         "tiles_join_rows": produced,
         "rows_per_sec": round(produced / total, 1) if total else 0.0,
         "copies": copies,
+        "pyramid_tiles_registered": pyr_total,
+        "driver_py_rss_mb": rss_mb,
     }
 
 
@@ -337,6 +348,9 @@ def main() -> None:
         "tiles_join_rows": r["tiles_join_rows"],
         "rows_per_sec": r["rows_per_sec"],
         "counts": r["counts"],
+        "copies": r["copies"],
+        "pyramid_tiles_registered": r["pyramid_tiles_registered"],
+        "driver_py_rss_mb": r["driver_py_rss_mb"],
     }
     _append_history({"mode": "single", **out})
     print(json.dumps(out))
