@@ -417,6 +417,105 @@ def queries_sql(dialect: str) -> dict[str, str]:
         where dot / (sqrt(na) * sqrt(nb)) >= 0.35
     """
 
+    # all-pairs ANN: per-vector top-2 neighbors among 4-bit LSH bucket
+    # mates — the window is partitioned per vector and its candidate set is
+    # bounded by the bucket size, so no single-task global sort exists at
+    # any scale; ranking on the ROUNDED cosine (then neighbor id) keeps the
+    # tie-break bit-identical across engines
+    q["sim_ann_bucket_topk"] = f"""
+        with e as ({elems}),
+        proj as (
+          select e.vec_id, bt.b, sum(e.x * {plane}) as dot
+          from e {_bits_join(d, 0, 3)}
+          group by e.vec_id, bt.b
+        ),
+        buckets as (
+          select vec_id,
+                 cast(sum(case when dot > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as bkt
+          from proj group by vec_id
+        ),
+        pairs as (
+          select a.vec_id as va, b.vec_id as vb
+          from buckets a join buckets b on a.bkt = b.bkt and a.vec_id <> b.vec_id
+        ),
+        dots as (
+          select p.va, p.vb,
+                 sum(ea.x * eb.x) as dot, sum(ea.x * ea.x) as na, sum(eb.x * eb.x) as nb
+          from pairs p
+          join e ea on ea.vec_id = p.va
+          join e eb on eb.vec_id = p.vb and eb.i = ea.i
+          group by p.va, p.vb
+        ),
+        cos as (
+          select va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) as cosine from dots
+        ),
+        ranked as (
+          select va, vb, cosine,
+                 row_number() over (partition by va order by cosine desc, vb asc) as ann_rank
+          from cos
+        )
+        select va as vec_id, vb as neighbor_id, cosine, ann_rank
+        from ranked where ann_rank <= 2
+    """
+
+    # ---- training-data pipeline compositions ------------------------------
+    # post-dedup corpus selection: one keeper per simhash bucket (the
+    # filter a pipeline applies AFTER candidate generation + clustering;
+    # simhash16 collides heavily by design, so this genuinely merges)
+    simhash_cte = f"""
+        with words as (select doc_id, w {_words_from(d)}),
+        wh as (select doc_id, {hh('w')} as h from words),
+        bits as (
+          select doc_id, bt.b,
+                 sum(case when (h >> bt.b) & 1 = 1 then 1 else -1 end) as vote
+          from wh {_bits_join(d, 0, 15)}
+          group by doc_id, bt.b
+        ),
+        sh as (
+          select doc_id,
+                 cast(sum(case when vote > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash16
+          from bits group by doc_id
+        )
+    """
+    q["dedup_keep_corpus"] = simhash_cte + """
+        select cast(min(doc_id) as bigint) as doc_id,
+               simhash16 as bucket,
+               cast(count(*) as bigint) as n_merged
+        from sh group by simhash16
+    """
+
+    # deterministic train/val split on a portable content-free hash of the
+    # doc id (survives repartitioning/reruns; the split a training pipeline
+    # stamps before sharding)
+    split_h = hh(f"concat('split-', {ts('doc_id')})")
+    q["text_train_split"] = f"""
+        with s as (
+          select doc_id,
+                 case when ({split_h}) % 10 < 9 then 'train' else 'val' end as split
+          from documents
+        )
+        select split, cast(count(*) as bigint) as n_docs,
+               cast(min(doc_id) as bigint) as min_doc,
+               cast(max(doc_id) as bigint) as max_doc
+        from s group by split
+    """
+
+    # composite quality gate: every document scored + flagged (flags, not a
+    # filter, so the oracle checks the predicate on every row)
+    ntok = occurrences("text", " ", d)
+    nstop = occurrences("text", "the", d)
+    q["text_quality_filter"] = f"""
+        select doc_id,
+               length(text) as n_chars,
+               {ntok} + 1 as n_tokens,
+               {nstop} as n_stop,
+               cast(case when length(text) >= 64
+                          and {ntok} + 1 between 8 and 4000
+                          and {nstop} >= 1
+                    then 1 else 0 end as int) as keep_flag
+        from documents
+    """
+
     # ---- multimodal metadata (decode itself is stubbed; see multimodal.py) --
     doc_str = ts("doc_id")
     w_expr = f"({hh(f'concat(~w-~, {doc_str})')} % 1920) + 1".replace("~", "'")
