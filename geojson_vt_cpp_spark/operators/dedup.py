@@ -94,6 +94,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return _run(docs, "fp", "text_fingerprint", text_col, id_col)
 
 
+def keep_corpus(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Post-dedup corpus selection: one keeper per simhash bucket."""
+    return _run(docs, "keep", "dedup_keep_corpus", text_col, id_col)
+
+
+def train_split(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val assignment (portable doc-id hash), per-split stats."""
+    return _run(docs, "split", "text_train_split", text_col, id_col)
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality gate: per-doc features + keep_flag."""
+    return _run(docs, "qfilter", "text_quality_filter", text_col, id_col)
+
+
 def _run_emb(df: DataFrame, name: str, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     tmp = f"emb_{uuid.uuid4().hex[:8]}"
@@ -131,6 +146,12 @@ def cosine_top_k(embs: DataFrame, k: int = 10, vec_col: str = "embedding",
 def lsh_buckets(embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """8-bit random-hyperplane LSH bucket per vector (ANN scale path)."""
     return _run_emb(embs, "sim_lsh_buckets", vec_col, id_col)
+
+
+def ann_bucket_top_k(embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """All-pairs ANN: per-vector top-2 among LSH bucket mates (window
+    partitioned per vector; candidates bounded by the bucket size)."""
+    return _run_emb(embs, "sim_ann_bucket_topk", vec_col, id_col)
 
 
 def embedding_near_dup(embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -55,6 +55,23 @@ def test_embedding_operators(spark, embs):
     assert all(r["cosine"] >= 0.35 for r in nd.collect())
 
 
+def test_pipeline_composition_operators(spark, docs, embs):
+    n = docs.count()
+    kept = DD.keep_corpus(docs)
+    assert 0 < kept.count() < n  # simhash buckets genuinely merge
+    splits = {r["split"]: r["n_docs"] for r in DD.train_split(docs).collect()}
+    assert set(splits) == {"train", "val"} and sum(splits.values()) == n
+    qf = DD.quality_filter(docs)
+    assert qf.count() == n and set(qf.columns) >= {"doc_id", "keep_flag"}
+    ann = DD.ann_bucket_top_k(embs)
+    rows = ann.collect()
+    assert all(1 <= r["ann_rank"] <= 2 for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], []).append(r["ann_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_vec.values())
+
+
 def test_custom_column_names(spark, docs):
     renamed = docs.selectExpr("doc_id as id", "text as body", "lang")
     out = DD.dedup_exact(renamed, text_col="body", id_col="id")
