@@ -69,6 +69,22 @@ def test_kill_mid_run_resumes_remaining_stages(spark, tmp_path):
     assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
 
 
+def test_tile_features_read_prunes_on_zoom(spark, tmp_path):
+    """The checkpointed pipeline writes tile_features partitioned by z; a
+    zoom-filtered read must show z in the scan's PartitionFilters (the
+    get_tiles batch-lookup scale path reads exactly this way)."""
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    r = checkpointed_pipeline(
+        spark, str(tmp_path / "prune"), docs, Options(index_max_zoom=3, max_zoom=14)
+    )
+    df = r["tile_features"].df.where("z = 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "z" in pf, pf
+    assert df.count() > 0
+
+
 def test_pyramid_mid_bfs_kill_resumes_from_level_manifests(spark, tmp_path, monkeypatch):
     """A pyramid build killed MID-ZOOM (between level checkpoints) resumes
     idempotently through the TableIO workdir path: completed pyr_level_*
