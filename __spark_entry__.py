@@ -169,6 +169,37 @@ def _geo_knn_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_vt_cpp_spark.operators.spatial_join import distance_join
+
+    points = _synth_points(spark, sf_dir)
+    _register_views(spark, sf_dir)
+    sites = spark.sql(
+        f"select s_suppkey as site_id, {D.synth_px('s_suppkey')} as sx, "
+        f"{D.synth_py('s_suppkey')} as sy from supplier"
+    )
+    got = distance_join(
+        points, sites, radius=0.05,
+        query_cols=("point_id", "px", "py"), site_cols=("site_id", "sx", "sy"),
+    )
+    return got.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("site_id").cast("long").alias("site_id"),
+        F.round("dist2", 10).alias("dist2"),
+    )
+
+
+DISTANCE_ORACLE = """
+    with pts as (select c_custkey as point_id, ({px}) as px, ({py}) as py from customer),
+    sites as (select s_suppkey as site_id, ({sx}) as sx, ({sy}) as sy from supplier)
+    select p.point_id, s.site_id,
+           round((p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy), 10) as dist2
+    from pts p cross join sites s
+    where (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy)
+          <= cast(0.05 as double) * cast(0.05 as double)
+"""
+
+
 def _sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN through the real operator at full probe (n_probe ==
     n_centroids degrades to exact brute force — the SQL-expressible case;
@@ -499,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["sim_cosine_topk"] = _sim_cosine_topk
     qs["geo_pip_triangles"] = _geo_pip_triangles
     qs["geo_knn_sites"] = _geo_knn_sites
+    qs["geo_distance_join"] = _geo_distance_join
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
     qs["stream_events_hourly"] = _stream_events_hourly
@@ -520,6 +552,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["geo_knn_sites"] = " ".join(
         KNN_ORACLE.format(
+            px=px, py=py, sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")
+        ).split()
+    )
+    o["geo_distance_join"] = " ".join(
+        DISTANCE_ORACLE.format(
             px=px, py=py, sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")
         ).split()
     )

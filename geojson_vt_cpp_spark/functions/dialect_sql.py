@@ -516,6 +516,31 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from documents
     """
 
+    # corpus-level top-k character 3-grams: a global ORDER BY + LIMIT plans
+    # as TakeOrderedAndProject in Spark (map-side partial top-k) — no
+    # single-task global sort; (count desc, gram asc) is a total order, so
+    # the limit boundary is deterministic in both engines
+    q["text_top_ngrams"] = f"""
+        with grams as (select substr(text, i, 3) as g {_shingles_from(d, n=3)})
+        select g as gram, cast(count(*) as bigint) as n
+        from grams
+        where length(g) = 3
+        group by g
+        order by n desc, g asc
+        limit 20
+    """
+
+    # doc-length histogram (exact integer buckets — percentile functions
+    # diverge across engines, bucket counts do not)
+    q["text_length_histogram"] = f"""
+        select cast(floor(length(text) / 100) as int) as bucket,
+               cast(count(*) as bigint) as n_docs,
+               cast(min(length(text)) as int) as min_chars,
+               cast(max(length(text)) as int) as max_chars
+        from documents
+        group by cast(floor(length(text) / 100) as int)
+    """
+
     # ---- multimodal metadata (decode itself is stubbed; see multimodal.py) --
     doc_str = ts("doc_id")
     w_expr = f"({hh(f'concat(~w-~, {doc_str})')} % 1920) + 1".replace("~", "'")

@@ -145,6 +145,35 @@ def test_knn_vs_exhaustive(spark):
         assert gotl == want, f"query {i}: {gotl} != {want}"
 
 
+def test_distance_join_vs_exhaustive(spark):
+    from geojson_vt_cpp_spark.operators.spatial_join import distance_join
+
+    rng = np.random.RandomState(5)
+    queries = rng.uniform(0.0, 1.0, size=(400, 2))
+    sites = rng.uniform(0.0, 1.0, size=(200, 2))
+    qdf = spark.createDataFrame(
+        [(f"q{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(queries)],
+        "query_id string, qx double, qy double",
+    )
+    sdf = spark.createDataFrame(
+        [(f"s{i:04d}", float(x), float(y)) for i, (x, y) in enumerate(sites)],
+        "site_id string, sx double, sy double",
+    )
+    for radius, res in [(0.07, None), (0.07, 3), (0.3, None), (0.004, None)]:
+        got = {
+            (r["query_id"], r["site_id"])
+            for r in distance_join(qdf, sdf, radius, res=res).collect()
+        }
+        d2 = ((queries[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+        want = {
+            (f"q{i:04d}", f"s{j:04d}")
+            for i in range(len(queries)) for j in range(len(sites))
+            if d2[i, j] <= radius * radius
+        }
+        assert got == want, f"radius={radius} res={res}: {len(got)} vs {len(want)}"
+    assert len(want) > 0  # even the tightest radius matched pairs (non-vacuous)
+
+
 def test_knn_ring_fallback_exact_no_site_broadcast(spark):
     """Scale-safe straggler path: isolated queries that cannot certify at
     ring 1 are resolved by ring doubling (never by broadcasting the full
