@@ -458,6 +458,38 @@ STREAM_HOURLY_ORACLE = """
 """
 
 
+def _stream_pip_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stream-static spatial join: the synthetic point stream
+    (staged to a file source, availableNow) joined per microbatch against
+    the static triangle table via streaming/spatial.py — same rows as the
+    batch geo_pip_triangles query, so the SAME brute-force DuckDB oracle
+    checks it."""
+    import shutil
+    import tempfile
+
+    from geojson_vt_cpp_spark.streaming.spatial import stream_point_in_polygon
+
+    work = tempfile.mkdtemp(prefix="gvt_spip_")
+    points = _synth_points(spark, sf_dir)
+    points.write.mode("overwrite").parquet(f"{work}/in")
+    stream = spark.readStream.schema(points.schema).parquet(f"{work}/in")
+    q = stream_point_in_polygon(
+        stream, _triangles_df(spark), f"{work}/out", f"{work}/ck", broadcast=True
+    )
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("stream_pip_triangles did not finish within 600 s")
+    out = (
+        spark.read.parquet(f"{work}/out")
+        .select("point_id", F.col("feature_id").cast("long").alias("tri_id"))
+        .localCheckpoint()  # materialize in-session so the staging dir can go
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_vt_cpp_spark.functions.golden_oracle import MM_DOC_LIMIT
     from geojson_vt_cpp_spark.operators.multimodal import (
@@ -534,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
     qs["stream_events_hourly"] = _stream_events_hourly
+    qs["stream_pip_triangles"] = _stream_pip_triangles
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
     qs["pyramid_tile_features"] = _pyramid_tile_features
     qs["mm_image_features"] = _mm_image_features
@@ -569,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         ).split()
     )
     o["stream_events_hourly"] = " ".join(STREAM_HOURLY_ORACLE.split())
+    o["stream_pip_triangles"] = o["geo_pip_triangles"]
     # pyramid_*: literal-VALUES oracles aggregated from the reference's own
     # golden fixture; mm_image_features: literals precomputed from the
     # deterministic stub decode (functions/golden_oracle.py)

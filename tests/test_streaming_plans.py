@@ -101,3 +101,51 @@ def test_broadcast_join_is_planned(spark):
     small = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     j = big.join(F.broadcast(small), "k")
     assert is_broadcast_join(j)
+
+
+def test_stream_pip_multibatch_matches_batch(spark, tmp_path):
+    """stream_point_in_polygon across MULTIPLE microbatches
+    (maxFilesPerTrigger=1 over 3 staged files) appends exactly the batch
+    operator's rows — the per-microbatch execution model is correct even
+    when the stream is split."""
+    import importlib.util
+    import os
+
+    from geojson_vt_cpp_spark.operators.spatial_join import point_in_polygon_join
+    from geojson_vt_cpp_spark.streaming.spatial import stream_point_in_polygon
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+
+    points = E._synth_points(spark, "/root/testdata/sf0.001")
+    polys = E._triangles_df(spark)
+    src = tmp_path / "in"
+    for i in range(3):
+        points.where(F.col("point_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(points.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_point_in_polygon(
+        stream, polys, str(tmp_path / "out"), str(tmp_path / "ck"), broadcast=True
+    )
+    assert q.awaitTermination(600)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, f"expected multiple microbatches, got {n_batches}"
+    got = {
+        (r["point_id"], r["feature_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["point_id"], r["feature_id"])
+        for r in point_in_polygon_join(points, polys, broadcast=True)
+        .selectExpr("cast(point_id as long) as point_id", "feature_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
