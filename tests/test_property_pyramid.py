@@ -37,8 +37,23 @@ def _lat(rng):
     return _coord(rng, 160.0, -80.0)
 
 
+def _ring(rng: np.random.RandomState) -> list:
+    cx, cy = _lon(rng), float(-60 + rng.rand() * 120)
+    r = 1.0 + rng.rand() * 25.0
+    nv = rng.randint(3, 8)
+    angs = np.sort(rng.rand(nv)) * 2 * np.pi
+    ring = [[cx + r * float(np.cos(a)), cy + r * 0.5 * float(np.sin(a))]
+            for a in angs]
+    ring.append(ring[0])
+    return ring
+
+
+def _line(rng: np.random.RandomState) -> list:
+    return [[_lon(rng), _lat(rng)] for _ in range(rng.randint(3, 9))]
+
+
 def _feature(rng: np.random.RandomState, i: int) -> dict:
-    kind = rng.randint(0, 4)
+    kind = rng.randint(0, 7)
     if kind == 0:
         geom = {"type": "Point", "coordinates": [_lon(rng), _lat(rng)]}
     elif kind == 1:
@@ -47,19 +62,27 @@ def _feature(rng: np.random.RandomState, i: int) -> dict:
             "coordinates": [[_lon(rng), _lat(rng)] for _ in range(rng.randint(2, 7))],
         }
     elif kind == 2:
+        geom = {"type": "LineString", "coordinates": _line(rng)}
+    elif kind == 3:
         geom = {
-            "type": "LineString",
-            "coordinates": [[_lon(rng), _lat(rng)] for _ in range(rng.randint(3, 9))],
+            "type": "MultiLineString",
+            "coordinates": [_line(rng) for _ in range(rng.randint(2, 4))],
+        }
+    elif kind == 4:
+        geom = {
+            "type": "MultiPolygon",
+            "coordinates": [[_ring(rng)] for _ in range(rng.randint(2, 4))],
+        }
+    elif kind == 5:
+        geom = {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [_lon(rng), _lat(rng)]},
+                {"type": "LineString", "coordinates": _line(rng)},
+            ],
         }
     else:
-        cx, cy = _lon(rng), float(-60 + rng.rand() * 120)
-        r = 1.0 + rng.rand() * 25.0
-        nv = rng.randint(3, 8)
-        angs = np.sort(rng.rand(nv)) * 2 * np.pi
-        ring = [[cx + r * float(np.cos(a)), cy + r * 0.5 * float(np.sin(a))]
-                for a in angs]
-        ring.append(ring[0])
-        geom = {"type": "Polygon", "coordinates": [ring]}
+        geom = {"type": "Polygon", "coordinates": [_ring(rng)]}
     return {"type": "Feature", "properties": {"i": i}, "geometry": geom}
 
 
