@@ -189,6 +189,46 @@ def _geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOX_A = (
+    "select c_custkey as a_id, "
+    "({px}) - ((c_custkey % 89) + 1) / cast(2048 as double) as ax1, "
+    "({py}) - ((c_custkey % 83) + 1) / cast(2048 as double) as ay1, "
+    "({px}) + ((c_custkey % 89) + 1) / cast(2048 as double) as ax2, "
+    "({py}) + ((c_custkey % 83) + 1) / cast(2048 as double) as ay2 "
+    "from customer"
+)
+_BOX_B = (
+    "select s_suppkey as b_id, "
+    "({sx}) - ((s_suppkey % 79) + 1) / cast(1024 as double) as bx1, "
+    "({sy}) - ((s_suppkey % 73) + 1) / cast(1024 as double) as by1, "
+    "({sx}) + ((s_suppkey % 79) + 1) / cast(1024 as double) as bx2, "
+    "({sy}) + ((s_suppkey % 73) + 1) / cast(1024 as double) as by2 "
+    "from supplier"
+)
+
+
+def _geo_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_vt_cpp_spark.operators.spatial_join import bbox_overlap_join
+
+    _register_views(spark, sf_dir)
+    a = spark.sql(_BOX_A.format(px=D.synth_px("c_custkey"), py=D.synth_py("c_custkey")))
+    b = spark.sql(_BOX_B.format(sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")))
+    got = bbox_overlap_join(a, b, res=6)
+    return got.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+    )
+
+
+BBOX_ORACLE = """
+    with a as ({box_a}), b as ({box_b})
+    select a.a_id, b.b_id
+    from a cross join b
+    where a.ax1 <= b.bx2 and b.bx1 <= a.ax2
+      and a.ay1 <= b.by2 and b.by1 <= a.ay2
+"""
+
+
 DISTANCE_ORACLE = """
     with pts as (select c_custkey as point_id, ({px}) as px, ({py}) as py from customer),
     sites as (select s_suppkey as site_id, ({sx}) as sx, ({sy}) as sy from supplier)
@@ -563,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["geo_pip_triangles"] = _geo_pip_triangles
     qs["geo_knn_sites"] = _geo_knn_sites
     qs["geo_distance_join"] = _geo_distance_join
+    qs["geo_bbox_overlap"] = _geo_bbox_overlap
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
     qs["stream_events_hourly"] = _stream_events_hourly
@@ -591,6 +632,12 @@ def oracle_sql() -> dict[str, str]:
     o["geo_distance_join"] = " ".join(
         DISTANCE_ORACLE.format(
             px=px, py=py, sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")
+        ).split()
+    )
+    o["geo_bbox_overlap"] = " ".join(
+        BBOX_ORACLE.format(
+            box_a=_BOX_A.format(px=px, py=py),
+            box_b=_BOX_B.format(sx=D.synth_px("s_suppkey"), sy=D.synth_py("s_suppkey")),
         ).split()
     )
     o["sim_ivf_search"] = " ".join(

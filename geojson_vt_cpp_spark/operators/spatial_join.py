@@ -629,6 +629,55 @@ def distance_join(
     )
 
 
+def bbox_overlap_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    res: int = 6,
+    a_cols: tuple[str, str, str, str, str] = ("a_id", "ax1", "ay1", "ax2", "ay2"),
+    b_cols: tuple[str, str, str, str, str] = ("b_id", "bx1", "by1", "bx2", "by2"),
+) -> DataFrame:
+    """Exact rectangle-overlap (2-D interval range) join: every (a, b) pair
+    whose axis-aligned boxes intersect (closed intervals).
+
+    Shape: both sides explode to their covering cells at ``res`` (clamped
+    ``sequence``), equi-join on the cell, exact overlap filter — and
+    instead of a ``distinct`` shuffle to dedupe pairs that share several
+    cells, each pair is REPORTED ONCE in its responsibility cell (the cell
+    containing the intersection's min corner: a standard spatial-join
+    dedup that costs one codegen predicate instead of a global shuffle).
+    """
+    aid, ax1, ay1, ax2, ay2 = a_cols
+    bid, bx1, by1, bx2, by2 = b_cols
+    n = 1 << res
+
+    def cells(df: DataFrame, idc: str, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
+        def c(col):
+            return F.least(F.greatest(F.floor(F.col(col) * n).cast("long"), F.lit(0)), F.lit(n - 1))
+
+        return df.withColumn(
+            "ix", F.explode(F.sequence(c(x1), c(x2)))
+        ).withColumn(
+            "iy", F.explode(F.sequence(c(y1), c(y2)))
+        )
+
+    ac = cells(a_df.select(aid, ax1, ay1, ax2, ay2), aid, ax1, ay1, ax2, ay2)
+    bc = cells(b_df.select(bid, bx1, by1, bx2, by2), bid, bx1, by1, bx2, by2)
+    joined = ac.join(bc, ["ix", "iy"], "inner")
+    overlap = (
+        (F.col(ax1) <= F.col(bx2)) & (F.col(bx1) <= F.col(ax2))
+        & (F.col(ay1) <= F.col(by2)) & (F.col(by1) <= F.col(ay2))
+    )
+
+    def clamp_cell(expr):
+        return F.least(F.greatest(F.floor(expr * n).cast("long"), F.lit(0)), F.lit(n - 1))
+
+    responsible = (
+        (F.col("ix") == clamp_cell(F.greatest(F.col(ax1), F.col(bx1))))
+        & (F.col("iy") == clamp_cell(F.greatest(F.col(ay1), F.col(by1))))
+    )
+    return joined.where(overlap & responsible).select(aid, bid)
+
+
 # ---------------------------------------------------------------------------
 # raster <-> vector overlay
 # ---------------------------------------------------------------------------

@@ -174,6 +174,37 @@ def test_distance_join_vs_exhaustive(spark):
     assert len(want) > 0  # even the tightest radius matched pairs (non-vacuous)
 
 
+def test_bbox_overlap_join_vs_exhaustive(spark):
+    from geojson_vt_cpp_spark.operators.spatial_join import bbox_overlap_join
+
+    rng = np.random.RandomState(9)
+
+    def boxes(prefix, m, max_w):
+        cs = rng.uniform(0.0, 1.0, size=(m, 2))
+        ws = rng.uniform(0.0, max_w, size=(m, 2))
+        return [
+            (f"{prefix}{i:04d}", float(c[0] - w[0]), float(c[1] - w[1]),
+             float(c[0] + w[0]), float(c[1] + w[1]))
+            for i, (c, w) in enumerate(zip(cs, ws))
+        ]
+
+    a = boxes("a", 250, 0.06)
+    b = boxes("b", 150, 0.12)  # some boxes span many cells at res 6
+    adf = spark.createDataFrame(a, "a_id string, ax1 double, ay1 double, ax2 double, ay2 double")
+    bdf = spark.createDataFrame(b, "b_id string, bx1 double, by1 double, bx2 double, by2 double")
+    for res in (3, 6, 9):
+        got = [(r["a_id"], r["b_id"]) for r in bbox_overlap_join(adf, bdf, res=res).collect()]
+        assert len(got) == len(set(got)), f"res={res}: duplicate pairs reported"
+        want = {
+            (ai, bi)
+            for ai, x1, y1, x2, y2 in a
+            for bi, u1, v1, u2, v2 in b
+            if x1 <= u2 and u1 <= x2 and y1 <= v2 and v1 <= y2
+        }
+        assert set(got) == want, f"res={res}: {len(got)} vs {len(want)}"
+    assert len(want) > 0
+
+
 def test_knn_ring_fallback_exact_no_site_broadcast(spark):
     """Scale-safe straggler path: isolated queries that cannot certify at
     ring 1 are resolved by ring doubling (never by broadcasting the full
