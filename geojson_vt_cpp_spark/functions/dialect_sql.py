@@ -91,6 +91,13 @@ def _vec_elems(dialect: str, table: str = "embeddings") -> str:
     )
 
 
+def last_ignore_nulls(e: str, dialect: str) -> str:
+    """Carry-forward window aggregate (the as-of join primitive)."""
+    if dialect == "spark":
+        return f"last({e}, true)"
+    return f"last_value({e} ignore nulls)"
+
+
 def cosine_scores_sql(dialect: str, table: str = "embeddings") -> str:
     """(vec_id, cosine) of every vector vs the query vector (vec_id=0),
     rounded to 6 dp — the shared score formula for both the windowed oracle
@@ -193,6 +200,33 @@ def queries_sql(dialect: str) -> dict[str, str]:
                         or {"timestampdiff(MICROSECOND, prev_ts, ts)" if d == 'spark' else "date_diff('microsecond', prev_ts, ts)"} > 1800000000
                    then 1 else 0 end) as bigint) as n_sessions
         from t group by user_id
+    """
+
+    # as-of join: each purchase matched to its user's most recent click AT
+    # OR BEFORE it (side 0 sorts before side 1 at equal ts). The
+    # carry-forward window is partitioned per user — keyed state only, the
+    # scale-safe as-of formulation (no range join, no broadcast)
+    q["rel_events_asof"] = f"""
+        with tagged as (
+          select user_id, ts, event_id, value, 0 as side
+          from events where event_type = 'click'
+          union all
+          select user_id, ts, event_id, cast(null as double) as value, 1 as side
+          from events where event_type = 'purchase'
+        ),
+        m as (
+          select user_id, ts, event_id, side,
+                 {last_ignore_nulls('value', d)} over (
+                   partition by user_id
+                   order by ts asc, side asc, event_id asc
+                   rows between unbounded preceding and current row
+                 ) as asof_click_value
+          from tagged
+        )
+        select cast(event_id as bigint) as purchase_id,
+               cast(user_id as bigint) as user_id,
+               cast(asof_click_value as double) as asof_click_value
+        from m where side = 1
     """
 
     # ---- geo: cell index / tile codec over synthetic points ----------------
