@@ -229,6 +229,62 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from m where side = 1
     """
 
+    # hypertable-style multi-grain rollup: one scan, GROUPING SETS over
+    # hour/day/week buckets — partial aggregation combines map-side once
+    # and fans into every grain (the continuous-aggregate shape)
+    def fmt_bucket(trunc_part: str, out_fmt_spark: str, out_fmt_duck: str) -> str:
+        # explicit string formatting: DuckDB's date_trunc returns DATE for
+        # day-or-coarser parts, so casts alone don't format identically
+        if d == "spark":
+            return f"date_format(date_trunc('{trunc_part}', ts), '{out_fmt_spark}')"
+        return f"strftime(date_trunc('{trunc_part}', ts), '{out_fmt_duck}')"
+
+    q["rel_events_rollup_multires"] = f"""
+        select
+          case when grouping(h) = 0 then 'hour'
+               when grouping(dy) = 0 then 'day' else 'week' end as grain,
+          coalesce(h, dy, wk) as bucket,
+          event_type,
+          count(*) as n_events,
+          cast(sum(cast(value as decimal(20,4))) as double) as sum_value
+        from (
+          select event_type, value,
+                 {fmt_bucket('hour', 'yyyy-MM-dd HH', '%Y-%m-%d %H')} as h,
+                 {fmt_bucket('day', 'yyyy-MM-dd', '%Y-%m-%d')} as dy,
+                 {fmt_bucket('week', 'yyyy-MM-dd', '%Y-%m-%d')} as wk
+          from events
+        ) t
+        group by event_type, grouping sets ((h), (dy), (wk))
+    """
+
+    # KMV (k minimum values) distinct-count sketch — a DETERMINISTIC sketch
+    # both engines compute bit-identically (portable md5-derived hashes), so
+    # the ESTIMATE itself is oracle-checkable, unlike engine-native HLLs.
+    # Scale shape: the exact-distinct pre-aggregation is a hash groupBy
+    # (map-side combine), the k-min window then runs over distinct users
+    # per group only — document: at extreme cardinality the k smallest
+    # hashes per group come from a partial per-partition top-k merge
+    kmv_h = hh(f"concat('kmv-', {ts('user_id')})")
+    q["sketch_kmv_distinct"] = f"""
+        with du as (select distinct event_type, user_id from events),
+        hashed as (select event_type, {kmv_h} as h from du),
+        ranked as (
+          select event_type, h,
+                 row_number() over (partition by event_type order by h asc) as rn
+          from hashed
+        ),
+        kth as (
+          select event_type, max(h) as hk, count(*) as k_eff
+          from ranked where rn <= 64 group by event_type
+        ),
+        exact as (select event_type, count(*) as n_exact from du group by event_type)
+        select e.event_type, e.n_exact,
+               cast(k.k_eff as int) as k_used,
+               round(cast(k.k_eff - 1 as double)
+                     * cast(1152921504606846976 as double) / k.hk, 2) as kmv_estimate
+        from exact e join kth k on k.event_type = e.event_type
+    """
+
     # ---- geo: cell index / tile codec over synthetic points ----------------
     px, py = synth_px("c_custkey"), synth_py("c_custkey")
     cells = ", ".join(
