@@ -25,9 +25,14 @@ Design:
   scatter hot cells deterministically (hash of the point id), on top of AQE.
 - **kNN** adapts H3-style k-ring expansion to the batch model: a bounded
   neighborhood join at a chosen resolution, a certification predicate
-  (kth-candidate distance < neighborhood safe radius), and a broadcast
-  brute-force pass for the (few) uncertified stragglers — every point gets
-  exact top-k, no iteration over the full data.
+  (kth-candidate distance < neighborhood safe radius), and a straggler
+  fallback for the (few) uncertified queries — ring doubling by default at
+  scale (ordinary equi-joins, exact at full grid cover), broadcast brute
+  force only under a site-count gate. Every point gets exact top-k.
+- **distance_join / bbox_overlap_join** reuse the same cell machinery for
+  radius and rectangle-overlap (range) joins; the bbox join dedupes
+  multi-cell matches with a report-once responsibility cell instead of a
+  distinct shuffle.
 """
 
 from __future__ import annotations
@@ -41,7 +46,6 @@ from pyspark.sql import functions as F
 
 from geojson_vt_cpp_spark.functions import cells as C
 from geojson_vt_cpp_spark.operators import codec
-from geojson_vt_cpp_spark.operators.clip_stage import iter_rows
 
 DEFAULT_RESOLUTIONS = (4, 7, 10)
 
