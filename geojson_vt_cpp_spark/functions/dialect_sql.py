@@ -285,6 +285,30 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from exact e join kth k on k.event_type = e.event_type
     """
 
+    # KMV mergeability — the property that matters in a distributed engine:
+    # the GLOBAL distinct estimate is computed by merging the per-group
+    # sketches (union their element sets, re-take the k minima) without
+    # touching raw data again; same-user hashes collide across groups, so
+    # the union dedupes exactly as the math requires
+    q["sketch_kmv_union"] = f"""
+        with du as (select distinct event_type, user_id from events),
+        hashed as (select event_type, {kmv_h} as h from du),
+        per_group as (
+          select event_type, h,
+                 row_number() over (partition by event_type order by h asc) as rn
+          from hashed
+        ),
+        merged as (select distinct h from per_group where rn <= 64),
+        mranked as (select h, row_number() over (order by h asc) as rn from merged),
+        mk as (select max(h) as hk, count(*) as k_eff from mranked where rn <= 64),
+        exact as (select count(distinct user_id) as n_exact from events)
+        select cast(e.n_exact as bigint) as n_exact_users,
+               cast(k.k_eff as int) as k_used,
+               round(cast(k.k_eff - 1 as double)
+                     * cast(1152921504606846976 as double) / k.hk, 2) as kmv_union_estimate
+        from exact e cross join mk k
+    """
+
     # ---- geo: cell index / tile codec over synthetic points ----------------
     px, py = synth_px("c_custkey"), synth_py("c_custkey")
     cells = ", ".join(
