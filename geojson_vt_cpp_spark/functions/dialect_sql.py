@@ -261,13 +261,30 @@ def queries_sql(dialect: str) -> dict[str, str]:
     # both engines compute bit-identically (portable md5-derived hashes), so
     # the ESTIMATE itself is oracle-checkable, unlike engine-native HLLs.
     # Scale shape: the exact-distinct pre-aggregation is a hash groupBy
-    # (map-side combine), the k-min window then runs over distinct users
-    # per group only — document: at extreme cardinality the k smallest
-    # hashes per group come from a partial per-partition top-k merge
+    # (map-side combine). In the SPARK dialect the k-min is TWO-LEVEL: a
+    # salted bucket-local top-k (h % 16 buckets) feeds a per-group top-k
+    # over <= 16k survivors — no single task ever sees a whole group's
+    # distinct users. Exactness is a property, not an approximation: the
+    # global k minima all survive bucket-local top-k, so both dialects
+    # produce identical rows (DuckDB keeps the one-level form as the
+    # independent oracle).
     kmv_h = hh(f"concat('kmv-', {ts('user_id')})")
+    if d == "spark":
+        kmv_prune = """
+        pre as (
+          select event_type, h,
+                 row_number() over (partition by event_type, h % 16
+                                    order by h asc) as prn
+          from hashed0
+        ),
+        hashed as (select event_type, h from pre where prn <= 64),
+        """
+    else:
+        kmv_prune = "hashed as (select event_type, h from hashed0),"
     q["sketch_kmv_distinct"] = f"""
         with du as (select distinct event_type, user_id from events),
-        hashed as (select event_type, {kmv_h} as h from du),
+        hashed0 as (select event_type, {kmv_h} as h from du),
+        {kmv_prune}
         ranked as (
           select event_type, h,
                  row_number() over (partition by event_type order by h asc) as rn
@@ -292,7 +309,8 @@ def queries_sql(dialect: str) -> dict[str, str]:
     # the union dedupes exactly as the math requires
     q["sketch_kmv_union"] = f"""
         with du as (select distinct event_type, user_id from events),
-        hashed as (select event_type, {kmv_h} as h from du),
+        hashed0 as (select event_type, {kmv_h} as h from du),
+        {kmv_prune}
         per_group as (
           select event_type, h,
                  row_number() over (partition by event_type order by h asc) as rn
