@@ -6,16 +6,20 @@ point-in-polygon join against synthetic points derived from the sf0.001
 customer table -> per-state aggregate.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops). Most
-queries are dual-dialect SQL generated from ONE template
-(geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark plan and the
-DuckDB oracle compute bit-compatible values; the spatial-join / IVF /
-clustering / streaming queries run the engine's real DataFrame operators
-against hand-written independent SQL oracles. The pyramid queries check the
-real Spark pyramid against literal VALUES aggregated from the reference's
-own golden fixture (incl. a geometry digest), and the multimodal feature
-query against literals precomputed from the deterministic stub decode
-(functions/golden_oracle.py) — every registered query has an oracle row.
+(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 47
+queries, every one oracle-backed. Most are dual-dialect SQL generated from
+ONE template (geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark
+plan and the DuckDB oracle compute bit-compatible values; the spatial-join
+(PIP / kNN / distance / bbox-overlap) / IVF / clustering / streaming
+queries run the engine's real DataFrame operators against hand-written
+independent SQL oracles — including the Structured Streaming stream-static
+PIP join, checked against the SAME brute-force oracle as its batch twin.
+The pyramid queries check the real Spark pyramid against literal VALUES
+aggregated from the reference's own golden fixture (incl. a geometry
+digest), the multimodal feature queries against literals precomputed from
+the deterministic stub decode (functions/golden_oracle.py), and the KMV
+sketch queries oracle the ESTIMATE itself (deterministic portable-hash
+k-minimum-values — impossible with engine-native HLLs).
 """
 
 from __future__ import annotations
