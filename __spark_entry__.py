@@ -240,7 +240,7 @@ DISTANCE_ORACLE = """
            round((p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy), 10) as dist2
     from pts p cross join sites s
     where (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy)
-          <= cast(0.05 as double) * cast(0.05 as double)
+          <= cast('0.05' as double) * cast('0.05' as double)
 """
 
 

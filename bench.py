@@ -262,6 +262,18 @@ def run_micro(spark, cpus: int) -> dict:
     tiles = pyr.all_tiles()
     out["traverse_pyramid_sec"] = round(time.time() - t0, 3)
     out["traverse_pyramid_features"] = sum(len(v) for v in tiles.values())
+
+    # TraverseTilePyramid getTile shape (benchmark.cpp:30-50): every z0..z10
+    # tile requested — 1.4M getTile calls in the reference — through the
+    # batched get_tiles miss path: drill jobs bounded by LEVELS (one
+    # mixed-frontier split per round), never by the ~560k misses drilled
+    t0 = time.time()
+    reqs = [(z, x, y) for z in range(11) for x in range(1 << z) for y in range(1 << z)]
+    out["traverse_gettile_rows"] = pyr.get_tiles(reqs).count()
+    out["traverse_gettile_sec"] = round(time.time() - t0, 3)
+    out["traverse_gettile_requests"] = len(reqs)
+    out["traverse_gettile_tiles"] = pyr.total
+    out["traverse_gettile_drill_rounds"] = len(pyr.drill_log)
     pyr.close()
 
     t0 = time.time()  # LargeGeoJSONToTile shape

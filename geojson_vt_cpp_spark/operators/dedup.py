@@ -133,9 +133,7 @@ def cosine_top_k(embs: DataFrame, k: int = 10, vec_col: str = "embedding",
 
     tmp = f"emb_{uuid.uuid4().hex[:8]}"
     embs.selectExpr(f"{id_col} as vec_id", f"{vec_col} as embedding").createOrReplaceTempView(tmp)
-    scores = embs.sparkSession.sql(
-        D.cosine_scores_sql("spark").replace("embeddings", tmp)
-    )
+    scores = embs.sparkSession.sql(D.cosine_scores_sql("spark", table=tmp))
     topk = scores.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return topk.withColumn("sim_rank", F.row_number().over(w)).select(
@@ -218,7 +216,10 @@ def connected_components(
     prev_snap = sym_snap
     converged = False
     rounds = 0
-    for i in range(max_iters):
+    # max_iters label-changing rounds PLUS one confirming round: the sum
+    # fixpoint needs an extra pass to observe no change, so a graph whose
+    # diameter equals max_iters exactly must not spuriously raise.
+    for i in range(max_iters + 1):
         msgs = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "comp"
         )

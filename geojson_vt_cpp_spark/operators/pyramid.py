@@ -181,6 +181,7 @@ class TilePyramid:
         self._extra_assigned: list[DataFrame] = []
         self._tile_features: DataFrame | None = None
         self._tile_cache: dict[tuple[int, int, int], Tile] = {}
+        self.drill_log: list[dict] = []  # per-round batched-drill diagnostics
         self._io = None
         self._fp = ""
         if workdir is not None:
@@ -310,6 +311,12 @@ class TilePyramid:
         if len(tiles) == 1:
             x, y = tiles[0]
             return df.where((F.col("tx") == x) & (F.col("ty") == y))
+        if len(tiles) > 2048:
+            # Py4J literal marshalling is ~1 ms/key — broadcast-semi-join an
+            # Arrow-built key table instead (see _filter_tiles_z)
+            kpdf = pd.DataFrame(tiles, columns=["tx", "ty"]).astype("int64")
+            kdf = df.sparkSession.createDataFrame(kpdf)
+            return df.join(F.broadcast(kdf), ["tx", "ty"], "leftsemi")
         # packed-int membership: Catalyst turns a literal-int isin into an
         # InSet hash probe; a struct-literal isin would instead analyze and
         # evaluate a huge OR tree per row (dominant cost at deep levels)
@@ -318,97 +325,212 @@ class TilePyramid:
 
     # ------------------------------------------------------------ drill-down
 
-    def _source_df(self, key: tuple[int, int, int]) -> DataFrame | None:
+    def _source_container(self, key: tuple[int, int, int]) -> DataFrame | None:
+        """The unfiltered DataFrame holding this sourced tile's rows.
+
+        ``_sources`` maps a sourced tile to its CONTAINER df (a drill
+        round's children union), not a pre-filtered view: constructing one
+        filtered DataFrame per retained child would cost Py4J round trips
+        per tile — O(misses) driver work, exactly what the batched drill
+        exists to avoid. Filters are built lazily, grouped per container,
+        only for tiles that actually drill.
+        """
         if key in self._sources:
             return self._sources[key]
-        z, x, y = key
-        lv = self._level_assigned.get(z)
-        if lv is None:
+        return self._level_assigned.get(key[0])
+
+    def _source_df(self, key: tuple[int, int, int]) -> DataFrame | None:
+        c = self._source_container(key)
+        if c is None:
             return None
-        return self._filter_tiles(lv, [(x, y)])
+        return self._filter_tiles_z(c, [key])
 
     def _drill(self, cz: int, cx: int, cy: int) -> None:
-        """splitTile(parent.source, ..., cz, cx, cy) (geojsonvt.hpp:130-139).
+        """splitTile(parent.source, ..., cz, cx, cy) (geojsonvt.hpp:130-139):
+        single-target drill, a batch of one (:meth:`_drill_batch`)."""
+        self._drill_batch([(cz, cx, cy)])
 
-        Walks the ancestor path; at each level all four children are
-        materialized (stats registered, rows appended), non-ancestor children
-        retain their source, the ancestor child recurses, and the split tile
-        loses its source (geojsonvt.hpp:217-257).
+    def _drill_batch(self, targets: list[tuple[int, int, int]]) -> None:
+        """Batched drill-down: every miss drilled in ONE BFS — one
+        ``split_children`` job + one stats aggregate per LEVEL, not per miss.
+
+        Semantics are the confluent closure of the reference's per-miss
+        recursion (geojsonvt.hpp:217-257): at each level the frontier is
+        exactly the set of sourced tiles that are strict ancestors of at
+        least one unreached target; all of them split in one mixed-z job
+        (split_children reads z/tx/ty per row). Per split tile: all four
+        children materialize (stats registered), the split tile retires its
+        source, a child retains its source iff no target lies strictly below
+        it (this is order-independent — per-miss drilling in any order
+        reaches the same final meta/source state), children at maxZoom
+        retain nothing (geojsonvt.hpp:219-220), and empty children never
+        recurse, so targets under them stay genuine misses.
         """
         o = self.o
-        # findParent (geojsonvt.hpp:159-176)
-        pz, px, py = cz, cx, cy
-        parent = None
-        while pz != 0:
-            pz -= 1
-            px //= 2
-            py //= 2
-            if (pz, px, py) in self.meta:
-                parent = (pz, px, py)
-                break
-        if parent is None:
-            raise ValueError("Parent tile not found")
-        m = self.meta[parent]
-        if not m.has_source or m.rows == 0:
-            return  # sourceless/empty parent: drill is a no-op
-        df = self._source_df(parent)
-        z, x, y = parent
-        while True:
-            # stop conditions for the current (materialized, sourced) tile
-            if z == o.max_zoom:
+        # group targets under their nearest materialized ancestor
+        # (findParent, geojsonvt.hpp:159-176)
+        frontier: dict[tuple[int, int, int], set] = {}
+        containers: dict[tuple[int, int, int], DataFrame] = {}
+        for t in dict.fromkeys(targets):
+            if t in self.meta:
+                continue
+            pz, px, py = t
+            anc = None
+            while pz != 0:
+                pz -= 1
+                px //= 2
+                py //= 2
+                if (pz, px, py) in self.meta:
+                    anc = (pz, px, py)
+                    break
+            if anc is None:
+                raise ValueError("Parent tile not found")
+            m = self.meta[anc]
+            if not m.has_source or m.rows == 0:
+                continue  # sourceless/empty ancestor: drill is a no-op
+            frontier.setdefault(anc, set()).add(t)
+            containers[anc] = self._source_container(anc)
+        import time as _time
+
+        while frontier:
+            _t0 = _time.time()
+            active = {
+                key: below
+                for key, tset in frontier.items()
+                if key[0] < o.max_zoom
+                for below in [{t for t in tset if t[0] > key[0]}]
+                if below
+            }
+            if not active:
                 return
-            if z == cz:
-                return  # target reached earlier (it retained source)
-            m = 1 << (cz - z)
-            if x != cx // m or y != cy // m:
-                return
-            children = split_children(df, o.buffer, o.extent, o.line_metrics).localCheckpoint()
+            # ONE filter per distinct container df (not per tile), one
+            # mixed-z split job + one stats aggregate for the whole level
+            groups: dict[int, tuple[DataFrame, list]] = {}
+            for key in sorted(active):
+                c = containers[key]
+                groups.setdefault(id(c), (c, []))[1].append(key)
+            parts = [self._filter_tiles_z(c, ks) for c, ks in groups.values()]
+            union = parts[0]
+            for d in parts[1:]:
+                union = union.unionByName(d)
+            # right-size partitions from the driver-known row counts: the
+            # filtered union inherits its containers' partitioning (hundreds
+            # of near-empty partitions after a few rounds) and mapInPandas
+            # pays a Python-runner startup PER TASK — measured 12 s/round on
+            # a 43k-row traversal without this
+            est_rows = 2 * sum(self.meta[k].rows for k in active)
+            union = union.repartition(self._size_parts(est_rows))
+            children = split_children(
+                union, o.buffer, o.extent, o.line_metrics
+            ).localCheckpoint()
             self._extra_assigned.append(children)
             self._tile_features = None  # invalidate union cache
+            _t1 = _time.time()
             cstats = {
-                (r["tx"], r["ty"]): (r["npts"], r["nrows"])
-                for r in children.groupBy("tx", "ty")
+                (r["z"], r["tx"], r["ty"]): (r["npts"], r["nrows"])
+                for r in children.groupBy("z", "tx", "ty")
                 .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
                 .collect()
             }
-            # the split tile drops its source (geojsonvt.hpp:256-257)
-            self.meta[(z, x, y)].has_source = False
-            self._sources.pop((z, x, y), None)
-            nxt = None
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    czx, czy = 2 * x + dx, 2 * y + dy
-                    key = (z + 1, czx, czy)
-                    npts, nrows = cstats.get((czx, czy), (0, 0))
-                    cdf = self._filter_tiles(children, [(czx, czy)])
-                    if key not in self.meta:
-                        self._register(z + 1, czx, czy, int(npts or 0), int(nrows))
-                    if nrows == 0:
-                        continue
-                    if z + 1 == o.max_zoom:
-                        continue  # no source retained at maxZoom (geojsonvt.hpp:219-220)
-                    mm = 1 << (cz - (z + 1)) if cz > z + 1 else 1
-                    is_anc = (z + 1 == cz and (czx, czy) == (cx, cy)) or (
-                        z + 1 < cz and czx == cx // mm and czy == cy // mm
-                    )
-                    if z + 1 == cz or not is_anc:
-                        self.meta[key].has_source = True
-                        self._sources[key] = cdf
-                        continue
-                    nxt = (cdf, z + 1, czx, czy)
-            if nxt is None:
-                return
-            df, z, x, y = nxt
+            _t2 = _time.time()
+            nxt: dict[tuple[int, int, int], set] = {}
+            containers = {}
+            for (z, x, y), tset in active.items():
+                # the split tile drops its source (geojsonvt.hpp:256-257)
+                self.meta[(z, x, y)].has_source = False
+                self._sources.pop((z, x, y), None)
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        czx, czy = 2 * x + dx, 2 * y + dy
+                        key = (z + 1, czx, czy)
+                        npts, nrows = cstats.get(key, (0, 0))
+                        if key not in self.meta:
+                            self._register(z + 1, czx, czy, int(npts or 0), int(nrows))
+                        if nrows == 0:
+                            continue
+                        if z + 1 == o.max_zoom:
+                            continue  # no source at maxZoom (geojsonvt.hpp:219-220)
+                        below = {
+                            t
+                            for t in tset
+                            if t[0] > z + 1
+                            and t[1] >> (t[0] - (z + 1)) == czx
+                            and t[2] >> (t[0] - (z + 1)) == czy
+                        }
+                        if below:
+                            nxt[key] = below  # recurses; no source kept
+                            containers[key] = children
+                        else:
+                            self.meta[key].has_source = True
+                            self._sources[key] = children
+            self.drill_log.append(
+                {
+                    "active": len(active),
+                    "est_rows": est_rows,
+                    "split_sec": round(_t1 - _t0, 2),
+                    "stats_sec": round(_t2 - _t1, 2),
+                    "register_sec": round(_time.time() - _t2, 2),
+                }
+            )
+            frontier = nxt
+
+    @staticmethod
+    def _filter_tiles_z(df: DataFrame, keys: list[tuple[int, int, int]]) -> DataFrame:
+        """Tile membership filter keyed on (z, tx, ty) — the batched-drill
+        children union mixes levels, so tx/ty alone would collide.
+
+        Small key sets compile to an InSet probe; large ones become a
+        broadcast left-semi join against an Arrow-built key table —
+        ``Column.isin`` marshals every literal through Py4J one element at a
+        time (measured ~1 ms/key: a 151k-key traversal filter cost 150 s of
+        driver time before this), while one Arrow batch ships in
+        milliseconds and BroadcastHashJoin probes the same way at any
+        executor count.
+        """
+        if len(keys) == 1:
+            z, x, y = keys[0]
+            return df.where(
+                (F.col("z") == z) & (F.col("tx") == x) & (F.col("ty") == y)
+            )
+        if len(keys) > 2048:
+            kpdf = pd.DataFrame(keys, columns=["z", "tx", "ty"]).astype(
+                {"z": "int32", "tx": "int64", "ty": "int64"}
+            )
+            kdf = df.sparkSession.createDataFrame(kpdf)
+            return df.join(F.broadcast(kdf), ["z", "tx", "ty"], "leftsemi")
+        packed = (
+            F.shiftleft(F.col("z").cast("long"), 58)
+            + F.shiftleft(F.col("tx"), 29)
+            + F.col("ty")
+        )
+        return df.where(packed.isin([(z << 58) + (x << 29) + y for z, x, y in keys]))
 
     # --------------------------------------------------------------- output
 
+    def _size_parts(self, rows: int, per_part: int = 256) -> int:
+        """Partition count for a Python-kernel pass over ``rows`` rows:
+        enough for parallelism, never hundreds of near-empty partitions
+        each paying a Python-runner startup."""
+        return min(self._n_parts, max(1, rows // per_part + 1))
+
+    def _assigned_union(self) -> DataFrame:
+        dfs = list(self._level_assigned.values()) + self._extra_assigned
+        union = dfs[0]
+        for d in dfs[1:]:
+            union = union.unionByName(d)
+        return union
+
     def tile_features(self) -> DataFrame:
-        """All materialized tiles, quantized — lazy, cached."""
+        """All materialized tiles, quantized — lazy, cached.
+
+        The union of per-level checkpoints accumulates partitions (levels +
+        drill rounds), so repartition to the driver-known total row count
+        before the quantize kernel — quantize is per-row, so the shuffle is
+        placement-only and the kernel output is unchanged.
+        """
         if self._tile_features is None:
-            dfs = list(self._level_assigned.values()) + self._extra_assigned
-            union = dfs[0]
-            for d in dfs[1:]:
-                union = union.unionByName(d)
+            total_rows = sum(m.rows for m in self.meta.values())
+            union = self._assigned_union().repartition(self._size_parts(total_rows))
             self._tile_features = quantize(union, self.o).persist()
         return self._tile_features
 
@@ -429,11 +551,12 @@ class TilePyramid:
         """Batch tile read: one DataFrame of tile features for many (z, x, y)
         requests — the Spark-shaped ``getTile`` (SURVEY.md §2 Q1 mapping).
 
-        Misses are grouped by their nearest sourced ancestor and drilled once
-        per distinct miss (bounded jobs, ancestor-path pruned like the
-        single-tile path); the hit lookup is ONE filter over the
-        z-partitioned tile features (partition pruning on z, min/max pruning
-        on tx/ty when persisted via TableIO).
+        Misses are grouped by their nearest sourced ancestor and drilled in
+        ONE batched BFS (:meth:`_drill_batch`): job/stage count is bounded
+        by the number of LEVELS between the shallowest ancestor and the
+        deepest miss, not by the number of misses. The hit lookup is ONE
+        filter over the z-partitioned tile features (partition pruning on z,
+        min/max pruning on tx/ty when persisted via TableIO).
         """
         wanted = []
         for z, x, y in requests:
@@ -441,21 +564,24 @@ class TilePyramid:
                 raise ValueError(f"Requested zoom higher than maxZoom: {z}")
             z2 = 1 << z
             wanted.append((z, ((x % z2) + z2) % z2, y))
-        for key in dict.fromkeys(wanted):  # preserve order, dedup
-            if key not in self.meta:
-                self._drill(*key)
+        missing = [k for k in dict.fromkeys(wanted) if k not in self.meta]
+        if missing:
+            self._drill_batch(missing)  # one job chain per level, not per miss
         found = [k for k in dict.fromkeys(wanted) if k in self.meta]
         if not found:
             return self.tile_features().limit(0)
-        packed = [(z << 58) + (x << 29) + y for z, x, y in found]
+        # selective requests quantize ONLY the requested tiles: the filter
+        # keys on (z, tx, ty), which the per-row quantize kernel never
+        # changes, so pushing it below quantize is semantics-preserving and
+        # skips the Python kernel for every unrequested tile. Traversal-ish
+        # requests (or an already-persisted cache) use the shared full
+        # quantize instead.
+        if self._tile_features is None and 2 * len(found) < len(self.meta):
+            sel = self._filter_tiles_z(self._assigned_union(), found)
+            rows = sum(self.meta[k].rows for k in found)
+            return quantize(sel.repartition(self._size_parts(rows)), self.o)
         tf = self.tile_features()
-        return tf.where(
-            (
-                F.shiftleft(F.col("z").cast("long"), 58)
-                + F.shiftleft(F.col("tx"), 29)
-                + F.col("ty")
-            ).isin(packed)
-        )
+        return self._filter_tiles_z(tf, found)
 
     def _collect_tile(self, key: tuple[int, int, int]) -> Tile:
         if key in self._tile_cache:

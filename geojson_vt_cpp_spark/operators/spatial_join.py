@@ -510,6 +510,10 @@ def knn_join(
     )
 
     if fallback == "auto":
+        # don't pay the sites count job when there are no stragglers to
+        # route — the common density-sized case certifies every query
+        if bad_q.isEmpty():
+            return good
         fallback = (
             "broadcast" if sites_df.count() <= broadcast_max_sites else "ring"
         )

@@ -40,8 +40,15 @@ def stream_point_in_polygon(
     ``spark.read.parquet(out_dir)``. A parquet sink rather than a temp
     view: foreachBatch executes against a per-microbatch session clone, so
     session-scoped views created inside it are invisible to the caller's
-    session — files (or a TableIO/Iceberg append keyed on
-    (point_id, feature_id) for exactly-once) are the durable pattern.
+    session.
+
+    Idempotent replay: each microbatch lands in its own deterministic
+    partition directory ``out_dir/batch_id=<N>`` with mode('overwrite') —
+    if a batch is replayed after a failure (files written, streaming
+    checkpoint commit lost), the rerun overwrites the same directory
+    instead of appending duplicates, so checkpoint + sink together give
+    exactly-once. Readers of ``out_dir`` see ``batch_id`` as an ordinary
+    partition column.
     """
     pid = point_cols[0]
 
@@ -52,7 +59,7 @@ def stream_point_in_polygon(
             f"cast({pid} as long) as point_id",
             "doc_id",
             "cast(feature_id as string) as feature_id",
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(batch_id)}")
 
     writer = (
         points_stream.writeStream.foreachBatch(process_batch)

@@ -39,3 +39,37 @@ def test_get_tiles_batch_matches_single(spark):
     assert n_batch == len(single.features)
     assert pyr.total == 37  # same drill accounting as the single-tile path
     pyr.close()
+
+
+def test_get_tiles_z10_block_batch_equals_per_miss(spark):
+    """VERDICT r3 #1 'done' gate: a z10 block of 64 missing tiles under one
+    ancestor drills in a job/stage count bounded by LEVELS (one split job
+    per level of the batched BFS), not by misses — and produces a final
+    pyramid state identical to drilling every miss one at a time."""
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    # the 8x8 block of z10 descendants of the golden z7/37/48 tile
+    reqs = [(10, x, y) for x in range(296, 304) for y in range(384, 392)]
+    assert len(reqs) == 64
+
+    batch = TilePyramid.from_documents(docs, Options())
+    n_extra_before = len(batch._extra_assigned)
+    batch.get_tiles(reqs)
+    rounds = len(batch._extra_assigned) - n_extra_before
+    # batched BFS: one children union per level from the nearest sourced
+    # ancestor (z >= 0) down to z10 — never one per miss
+    assert 0 < rounds <= 10, rounds
+
+    permiss = TilePyramid.from_documents(docs, Options())
+    for z, x, y in reqs:
+        permiss.get_tile(z, x, y)
+
+    assert batch.meta.keys() == permiss.meta.keys()
+    assert batch.total == permiss.total
+    for k, m in batch.meta.items():
+        pm = permiss.meta[k]
+        assert (m.num_points, m.rows, m.has_source) == (
+            pm.num_points, pm.rows, pm.has_source
+        ), k
+    assert batch.all_tiles() == permiss.all_tiles()
+    batch.close()
+    permiss.close()
