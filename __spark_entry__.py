@@ -310,6 +310,21 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained dedup: minhash LSH candidate pairs -> generic exact
+    char-4-gram Jaccard refinement (operators/dedup.py jaccard_refine —
+    per-doc gram arrays, codegen array_intersect, no per-pair gram
+    shuffle). Oracle: the declarative twin of the same chain
+    (dialect_sql.minhash_jaccard_sql) in DuckDB."""
+    from geojson_vt_cpp_spark.operators.dedup import (
+        jaccard_refine, minhash_near_dup_pairs,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return jaccard_refine(minhash_near_dup_pairs(docs), docs, n=4)
+
+
 DEDUP_CLUSTERS_ORACLE = """
     with recursive
     mp as ({pairs_sql}),
@@ -610,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["geo_bbox_overlap"] = _geo_bbox_overlap
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
+    qs["dedup_minhash_jaccard"] = _dedup_minhash_jaccard
     qs["stream_events_hourly"] = _stream_events_hourly
     qs["stream_pip_triangles"] = _stream_pip_triangles
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom
@@ -652,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
             pairs_sql=D.queries_sql("duckdb")["dedup_minhash_pairs"]
         ).split()
     )
+    o["dedup_minhash_jaccard"] = " ".join(D.minhash_jaccard_sql("duckdb").split())
     o["stream_events_hourly"] = " ".join(STREAM_HOURLY_ORACLE.split())
     o["stream_pip_triangles"] = o["geo_pip_triangles"]
     # pyramid_*: literal-VALUES oracles aggregated from the reference's own

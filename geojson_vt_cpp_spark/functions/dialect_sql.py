@@ -121,6 +121,41 @@ def cosine_scores_sql(dialect: str, table: str = "embeddings") -> str:
     )
 
 
+def minhash_jaccard_sql(dialect: str) -> str:
+    """Minhash LSH candidate pairs refined by EXACT char-4-gram Jaccard —
+    the chained pairs -> refine query. The Spark ENGINE runs
+    ``operators.dedup.jaccard_refine`` (per-doc gram arrays +
+    whole-stage-codegen array_intersect, no per-pair gram shuffle); this
+    template is the declarative twin, used as the DuckDB oracle and for
+    cross-dialect tests. Zero-overlap candidate pairs keep their row
+    (jaccard = 0) via the left join, matching the operator."""
+    d = dialect
+    pairs_q = queries_sql(d)["dedup_minhash_pairs"]
+    return f"""
+        with pairs as ({pairs_q}),
+        grams as (
+          select distinct doc_id, substr(text, i, 4) as g {_shingles_from(d, n=4)}
+        ),
+        sizes as (select doc_id, count(*) as n from grams group by doc_id),
+        inter as (
+          select p.doc_a, p.doc_b, count(*) as n_inter
+          from pairs p
+          join grams ga on ga.doc_id = p.doc_a
+          join grams gb on gb.doc_id = p.doc_b and gb.g = ga.g
+          group by p.doc_a, p.doc_b
+        )
+        select p.doc_a, p.doc_b,
+               cast(coalesce(i.n_inter, 0) as bigint) as n_inter,
+               cast(sa.n as bigint) as n_a, cast(sb.n as bigint) as n_b,
+               round(cast(coalesce(i.n_inter, 0) as double)
+                     / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) as jaccard
+        from pairs p
+        left join inter i on i.doc_a = p.doc_a and i.doc_b = p.doc_b
+        join sizes sa on sa.doc_id = p.doc_a
+        join sizes sb on sb.doc_id = p.doc_b
+    """
+
+
 def queries_sql(dialect: str) -> dict[str, str]:
     """All dual-dialect queries, keyed like __spark_entry__.queries()."""
     d = dialect

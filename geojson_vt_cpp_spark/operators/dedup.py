@@ -74,6 +74,71 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return _run(docs, "jaccard", "dedup_ngram_jaccard", text_col, id_col)
 
 
+def jaccard_refine(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 4,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over an ARBITRARY candidate-pair DataFrame
+    — the reusable refinement stage after any candidate generator
+    (``minhash_near_dup_pairs``, simhash buckets, embedding buckets).
+
+    Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), one row per input
+    pair — zero-overlap candidates keep their row with jaccard = 0.
+
+    Scale shape: each document's DISTINCT gram set aggregates ONCE into an
+    array (the shingle explode is narrow; one shuffle keyed on doc id —
+    gram rows never replicate per pair), then the pair table equi-joins the
+    per-doc gram arrays and intersection/union counts run in whole-stage
+    codegen (``array_intersect`` + ``size``): no Python, no per-pair gram
+    shuffle, and both joins are ordinary equi-joins AQE can broadcast or
+    skew-split.
+    """
+    a, b = pair_cols
+    grams = (
+        docs.select(
+            F.col(doc_col).alias("doc_id"),
+            F.col(text_col).alias("t"),
+            F.explode(
+                F.expr(f"sequence(1, greatest(length({text_col}) - {n - 1}, 1))")
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr(f"substr(t, i, {n})").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("grams"))
+        .select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
+    )
+    p = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("ga"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gb"),
+        F.col("n_grams").alias("n_b"),
+    )
+    ni = F.size(F.array_intersect("ga", "gb")).cast("bigint")
+    return (
+        p.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ni.alias("n_inter"),
+            "n_a",
+            "n_b",
+            F.round(ni.cast("double") / (F.col("n_a") + F.col("n_b") - ni), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language guess + per-language scores."""
     return _run(docs, "langid", "text_lang_id", text_col, id_col)

@@ -36,6 +36,51 @@ def test_text_operators_run_and_agree(spark, docs):
     assert DD.ngram_jaccard(docs).count() > 0
 
 
+def test_jaccard_refine_adversarial_pairs(spark):
+    """jaccard_refine over hand-built pairs: identical docs (1.0), partial
+    overlap (exact fraction), ZERO-overlap candidates (row kept, 0.0), and
+    short-text degenerate grams — values computed by hand."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdef"),   # grams: abcd bcde cdef (3)
+            (2, "abcdxy"),   # grams: abcd bcdx cdxy (3); inter w/ 1 = {abcd}
+            (3, "zzzzzz"),   # grams: zzzz (1 distinct)
+            (4, "abcdef"),   # identical to doc 1
+            (5, "ab"),       # short text: single gram 'ab'
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in DD.jaccard_refine(pairs, docs, n=4).collect()
+    }
+    assert got == {
+        (1, 2): (1, 3, 3, 0.2),
+        (1, 3): (0, 3, 1, 0.0),   # zero-overlap pair is retained
+        (1, 4): (3, 3, 3, 1.0),
+        (3, 5): (0, 1, 1, 0.0),
+    }
+
+
+def test_minhash_jaccard_chain_matches_declarative_twin(spark, docs):
+    """The chained operator (minhash pairs -> jaccard_refine) must equal
+    the declarative dual-dialect template run through Spark SQL."""
+    from geojson_vt_cpp_spark.functions import dialect_sql as D
+
+    docs.createOrReplaceTempView("documents")
+    want = {
+        tuple(r) for r in spark.sql(D.minhash_jaccard_sql("spark")).collect()
+    }
+    got = {
+        tuple(r)
+        for r in DD.jaccard_refine(DD.minhash_near_dup_pairs(docs), docs, n=4).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_embedding_operators(spark, embs):
     topk_df = DD.cosine_top_k(embs)
     # scale-shape evidence: the operator's top-k is TakeOrderedAndProject
