@@ -1,0 +1,188 @@
+"""Pure-numpy PNG codec (stdlib ``zlib`` + the five scanline filters).
+
+Implements the public PNG specification (RFC 2083 / W3C PNG) from scratch —
+no PIL/libpng in this environment — so the multimodal decode slot
+(:mod:`geojson_vt_cpp_spark.operators.multimodal`) has a REAL path for the
+dominant training-data image format. Supported: 8-bit depth, color types
+0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced,
+multi-IDAT. Not supported (raise ``NotImplementedError``): 1/2/4/16-bit
+depths and Adam7 interlace — rare in ML corpora and documented here rather
+than silently mis-decoded.
+
+``encode_png`` exists for round-trip tests and deliberately cycles the
+filter type per scanline (row r uses filter r % 5) so one round-trip
+exercises every unfilter path.
+
+Filter math (per PNG spec §6): a = left neighbor (bpp bytes back),
+b = above, c = upper-left; all arithmetic mod 256.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IEND":
+            return
+
+
+def _unfilter(raw: np.ndarray, height: int, width: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. Returns (height, width*bpp) uint8.
+
+    None/Sub/Up rows vectorize (Sub is a per-lane cumsum mod 256);
+    Average/Paeth need the sequential left-neighbor recurrence, done
+    per-pixel in int32 then wrapped.
+    """
+    stride = width * bpp
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ftype = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: per-lane cumsum
+            lanes = line.reshape(width, bpp)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prior
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            p = prior.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = line[x] + ((a + p[x]) >> 1)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            p = prior.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                b = p[x]
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = line[x] + pred
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prior = (rec & 0xFF).astype(np.uint8)
+        out[r] = prior
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (height, width, channels) uint8 array."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    palette = None
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    ch = _CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expected = height * (width * ch + 1)
+    if raw.size != expected:
+        raise ValueError(f"PNG data size {raw.size} != expected {expected}")
+    flat = _unfilter(raw, height, width, ch)
+    img = flat.reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def _filter_row(line: np.ndarray, prior: np.ndarray, bpp: int, ftype: int) -> np.ndarray:
+    cur = line.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    up = prior.astype(np.int32)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - ((left + up) >> 1)
+    else:  # Paeth
+        pp = left + up - upleft
+        pa, pb, pc = np.abs(pp - left), np.abs(pp - up), np.abs(pp - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        out = cur - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 -> PNG bytes; scanline r uses filter r % 5
+    so decode round-trips exercise every unfilter path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch)
+    lines = bytearray()
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        ftype = r % 5
+        lines.append(ftype)
+        lines.extend(_filter_row(flat[r], prior, ch, ftype).tobytes())
+        prior = flat[r]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )

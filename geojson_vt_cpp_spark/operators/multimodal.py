@@ -2,12 +2,17 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; the
 decode / feature-extract steps run as Arrow-batched kernels over
-``mapInPandas``. The actual codecs are NOT available in this environment
-(no PIL/ffmpeg), so decode is STUBBED: ``decode_image_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode (seeded by the payload hash) with the real batch
-shape, schema, and partitioning — so the Spark-side plumbing is fully
-exercised and tested while the codec slot stays swappable.
+``mapInPandas``.
+
+Image decode is REAL for PNG: payloads starting with the PNG signature go
+through the from-scratch pure-numpy codec
+(:mod:`geojson_vt_cpp_spark.functions.png` — stdlib zlib + all five
+scanline filters, public PNG spec). Other formats (JPEG etc.) need codec
+libraries absent from this container, so they raise
+``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic fake decode (seeded by the payload hash) with the real
+batch shape, schema, and partitioning — the oracle-checked path, since
+the synthesized corpora carry hash-derived payloads, not encoded files.
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from geojson_vt_cpp_spark.functions.png import PNG_SIGNATURE, decode_png
 
 MEDIA_SCHEMA = (
     "doc_id long, media_ref string, payload binary, media_kind string, "
@@ -47,11 +54,28 @@ def synthesize_media_table(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """Codec slot. Real decoders are absent from this container."""
+    """Codec slot: real pure-numpy decode for PNG payloads; deterministic
+    fake (payload-hash-seeded) when ``fake=True``; NotImplementedError for
+    non-PNG formats whose codecs are absent from this container.
+
+    The real path always returns (h, w, 3): gray/gray+alpha/RGBA decode
+    results are normalized to RGB (alpha dropped, gray broadcast) so every
+    downstream feature kernel sees one channel layout.
+    """
     if not fake:
+        if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+            img = decode_png(payload)
+            if img.shape[2] == 4:  # RGBA -> RGB
+                img = img[:, :, :3]
+            elif img.shape[2] == 2:  # gray+alpha -> gray
+                img = img[:, :, :1]
+            if img.shape[2] == 1:  # gray -> RGB broadcast
+                img = np.repeat(img, 3, axis=2)
+            return img
         raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "environment; pass fake=True for the deterministic test double"
+            "non-PNG image decode requires a codec library not present in "
+            "this environment; pass fake=True for the deterministic test "
+            "double"
         )
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
