@@ -13,9 +13,12 @@ The reference's recursive DFS ``splitTile`` becomes a per-zoom loop:
   the union of all levels when output is first requested.
 
 Tile metadata (num_points, row counts, source retention) lives on the driver
-— it is bounded by the visited-tile count, which the index caps at
-4^indexMaxZoom; at larger index depths this dict would move into a small
-DataFrame, the algorithm is unchanged. Empty tiles ARE materialized (the
+— small levels as plain dict entries; levels past ``driver_stats_max``
+visited tiles evaluate their stop conditions DataFrame-side (vectorized
+numpy over the level aggregate, broadcast semi-join split filter) and
+register into compact numpy blocks (~33 bytes/tile, searchsorted lookups)
+so deep indexes (index_max_zoom >= 8) never build per-tile Python objects
+or loop the visit set on the driver. Empty tiles ARE materialized (the
 reference constructs an InternalTile for every child before checking
 ``features.empty()``, ``geojsonvt.hpp:189-206`` — the us-states golden
 contains 19 empty tiles).
@@ -64,6 +67,118 @@ class _Meta:
     num_points: int
     rows: int
     has_source: bool = False
+
+
+class _MetaRef:
+    """Write-through view of one tile row in a numpy registry block —
+    duck-typed like :class:`_Meta` (num_points/rows/has_source)."""
+
+    __slots__ = ("_lv", "_i")
+
+    def __init__(self, lv: tuple, i: int):
+        self._lv = lv
+        self._i = i
+
+    @property
+    def num_points(self) -> int:
+        return int(self._lv[1][self._i])
+
+    @property
+    def rows(self) -> int:
+        return int(self._lv[2][self._i])
+
+    @property
+    def has_source(self) -> bool:
+        return bool(self._lv[3][self._i])
+
+    @has_source.setter
+    def has_source(self, v: bool) -> None:
+        self._lv[3][self._i] = v
+
+
+class _MetaStore:
+    """Tile registry: dict semantics, numpy storage for big levels.
+
+    Small levels (and drill-registered tiles) live in a plain dict of
+    :class:`_Meta`; levels whose visited-tile count exceeds the driver
+    threshold are stored as one numpy block per level — packed-key-sorted
+    arrays of (key, num_points, rows, has_source), ~33 bytes/tile instead
+    of ~200 for a dict entry + _Meta object, with O(log n) searchsorted
+    lookups. Mutations (drill retiring a source) write through the
+    :class:`_MetaRef` view into the block.
+    """
+
+    def __init__(self):
+        self._extra: dict[tuple[int, int, int], _Meta] = {}
+        # z -> (packed_keys_sorted, npts, nrows, has_source)
+        self._levels: dict[int, tuple] = {}
+        self._block_count = 0
+
+    def add_level(self, z, xs, ys, npts, nrows, src) -> None:
+        import numpy as np
+
+        packed = (xs.astype(np.int64) << 29) + ys.astype(np.int64)
+        order = np.argsort(packed)
+        self._levels[z] = (
+            packed[order],
+            npts[order].astype(np.int64),
+            nrows[order].astype(np.int64),
+            src[order].astype(bool).copy(),
+        )
+        self._block_count += len(packed)
+
+    def _find(self, key):
+        z, x, y = key
+        lv = self._levels.get(z)
+        if lv is None:
+            return None, None
+        import numpy as np
+
+        p = (x << 29) + y
+        i = int(np.searchsorted(lv[0], p))
+        if i < len(lv[0]) and lv[0][i] == p:
+            return lv, i
+        return None, None
+
+    def __contains__(self, key) -> bool:
+        if key in self._extra:
+            return True
+        return self._find(key)[0] is not None
+
+    def __getitem__(self, key):
+        m = self._extra.get(key)
+        if m is not None:
+            return m
+        lv, i = self._find(key)
+        if lv is None:
+            raise KeyError(key)
+        return _MetaRef(lv, i)
+
+    def __setitem__(self, key, m: _Meta) -> None:
+        self._extra[key] = m
+
+    def __len__(self) -> int:
+        return len(self._extra) + self._block_count
+
+    def __iter__(self):
+        yield from self._extra
+        for z, lv in self._levels.items():
+            for p in lv[0]:
+                yield (z, int(p) >> 29, int(p) & ((1 << 29) - 1))
+
+    def keys(self):
+        return iter(self)
+
+    def items(self):
+        for k, m in self._extra.items():
+            yield k, m
+        for z, lv in self._levels.items():
+            for i, p in enumerate(lv[0]):
+                yield (z, int(p) >> 29, int(p) & ((1 << 29) - 1)), _MetaRef(lv, i)
+
+    def values(self):
+        for _k, m in self.items():
+            yield m
 
 
 def quantize(assigned_df: DataFrame, options: Options) -> DataFrame:
@@ -154,6 +269,7 @@ class TilePyramid:
         options: Options | None = None,
         pre_wrapped: bool = False,
         workdir: str | None = None,
+        driver_stats_max: int = 4096,
     ):
         """``pre_wrapped=True`` skips the antimeridian wrap for callers that
         already ran wrap_features (e.g. the checkpointed pipeline's
@@ -174,7 +290,11 @@ class TilePyramid:
 
         self.o = options or Options()
         self.spark = features_df.sparkSession
-        self.meta: dict[tuple[int, int, int], _Meta] = {}
+        # levels with more visited tiles than driver_stats_max evaluate
+        # their stop conditions DataFrame-side and register into compact
+        # numpy blocks (deep index_max_zoom; see _MetaStore / _build)
+        self._driver_stats_max = driver_stats_max
+        self.meta: _MetaStore = _MetaStore()
         self.stats: dict[int, int] = {}
         self._level_assigned: dict[int, DataFrame] = {}
         self._sources: dict[tuple[int, int, int], DataFrame] = {}
@@ -278,33 +398,102 @@ class TilePyramid:
             else:
                 assigned = assigned.repartition(self._n_parts).localCheckpoint()
             self._level_assigned[z] = assigned
-            stats = {
-                (r["tx"], r["ty"]): (r["npts"], r["nrows"])
-                for r in assigned.groupBy("tx", "ty")
-                .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
-                .collect()
-            }
-            splits = []
-            for (x, y) in sorted(visit):
-                npts, nrows = stats.get((x, y), (0, 0))
-                m = self._register(z, x, y, int(npts or 0), int(nrows))
-                if nrows == 0:
-                    continue  # empty tile: materialized, never splits
-                if z == o.index_max_zoom or m.num_points <= o.index_max_points:
-                    m.has_source = True  # leaf keeps source (geojsonvt.hpp:212-214)
-                else:
-                    splits.append((x, y))
-            if not splits:
-                break
-            split_df = self._filter_tiles(assigned, splits)
+            if not isinstance(visit, set) or len(visit) > self._driver_stats_max:
+                # big level: stop conditions evaluate from the aggregate
+                # DataFrame in vectorized numpy (no per-tile Python loop),
+                # the registry lands in a compact numpy block, and the
+                # split filter is a broadcast semi-join — the driver never
+                # builds per-tile dict entries for this level
+                splits_np = self._level_stats_big(assigned, visit, z)
+                if splits_np is None:
+                    break
+                sxs, sys_ = splits_np
+                kdf = self.spark.createDataFrame(
+                    pd.DataFrame({"tx": sxs, "ty": sys_})
+                )
+                split_df = assigned.join(F.broadcast(kdf), ["tx", "ty"], "leftsemi")
+                import numpy as np
+
+                visit = (
+                    np.repeat(sxs * 2, 4) + np.tile(np.array([0, 1, 0, 1]), len(sxs)),
+                    np.repeat(sys_ * 2, 4) + np.tile(np.array([0, 0, 1, 1]), len(sys_)),
+                )
+            else:
+                stats = {
+                    (r["tx"], r["ty"]): (r["npts"], r["nrows"])
+                    for r in assigned.groupBy("tx", "ty")
+                    .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+                    .collect()
+                }
+                splits = []
+                for (x, y) in sorted(visit):
+                    npts, nrows = stats.get((x, y), (0, 0))
+                    m = self._register(z, x, y, int(npts or 0), int(nrows))
+                    if nrows == 0:
+                        continue  # empty tile: materialized, never splits
+                    if z == o.index_max_zoom or m.num_points <= o.index_max_points:
+                        m.has_source = True  # leaf keeps source (geojsonvt.hpp:212-214)
+                    else:
+                        splits.append((x, y))
+                if not splits:
+                    break
+                split_df = self._filter_tiles(assigned, splits)
+                visit = {
+                    (2 * x + dx, 2 * y + dy)
+                    for (x, y) in splits
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                }
             assigned = split_children(split_df, o.buffer, o.extent, o.line_metrics)
-            visit = {
-                (2 * x + dx, 2 * y + dy)
-                for (x, y) in splits
-                for dx in (0, 1)
-                for dy in (0, 1)
-            }
             z += 1
+
+    def _level_stats_big(self, assigned: DataFrame, visit, z: int):
+        """DataFrame-side stop-condition evaluation for a big level.
+
+        Registers every visited tile (including empties) into a numpy
+        registry block and returns the (xs, ys) arrays of tiles to split,
+        or None when the level is all leaves — the exact same decisions as
+        the small-level Python loop, vectorized.
+        """
+        import numpy as np
+
+        o = self.o
+        if isinstance(visit, set):
+            sv = sorted(visit)
+            vxs = np.array([x for x, _ in sv], dtype=np.int64)
+            vys = np.array([y for _, y in sv], dtype=np.int64)
+        else:
+            vxs, vys = visit
+        packed = (vxs << 29) + vys
+        order = np.argsort(packed)
+        vxs, vys, packed = vxs[order], vys[order], packed[order]
+        pdf = (
+            assigned.groupBy("tx", "ty")
+            .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+            .toPandas()
+        )
+        npts = np.zeros(len(packed), dtype=np.int64)
+        nrows = np.zeros(len(packed), dtype=np.int64)
+        if len(pdf):
+            sp = (
+                pdf["tx"].to_numpy().astype(np.int64) << 29
+            ) + pdf["ty"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(packed, sp)
+            ok = (idx < len(packed)) & (packed[np.minimum(idx, len(packed) - 1)] == sp)
+            if not ok.all():
+                raise AssertionError("level stats contain unvisited tiles")
+            npts[idx] = pdf["npts"].to_numpy().astype(np.int64)
+            nrows[idx] = pdf["nrows"].to_numpy().astype(np.int64)
+        nonempty = nrows > 0
+        keep_src = nonempty & (
+            (z == o.index_max_zoom) | (npts <= o.index_max_points)
+        )
+        split_mask = nonempty & (z < o.index_max_zoom) & (npts > o.index_max_points)
+        self.meta.add_level(z, vxs, vys, npts, nrows, keep_src)
+        self.stats[z] = self.stats.get(z, 0) + len(packed)
+        if not split_mask.any():
+            return None
+        return vxs[split_mask], vys[split_mask]
 
     @staticmethod
     def _filter_tiles(df: DataFrame, tiles: list[tuple[int, int]]) -> DataFrame:

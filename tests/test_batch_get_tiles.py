@@ -63,7 +63,7 @@ def test_get_tiles_z10_block_batch_equals_per_miss(spark):
     for z, x, y in reqs:
         permiss.get_tile(z, x, y)
 
-    assert batch.meta.keys() == permiss.meta.keys()
+    assert set(batch.meta.keys()) == set(permiss.meta.keys())
     assert batch.total == permiss.total
     for k, m in batch.meta.items():
         pm = permiss.meta[k]
