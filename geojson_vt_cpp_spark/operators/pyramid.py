@@ -83,9 +83,17 @@ class _MetaRef:
     def num_points(self) -> int:
         return int(self._lv[1][self._i])
 
+    @num_points.setter
+    def num_points(self, v: int) -> None:
+        self._lv[1][self._i] = v
+
     @property
     def rows(self) -> int:
         return int(self._lv[2][self._i])
+
+    @rows.setter
+    def rows(self, v: int) -> None:
+        self._lv[2][self._i] = v
 
     @property
     def has_source(self) -> bool:
@@ -302,6 +310,8 @@ class TilePyramid:
         self._tile_features: DataFrame | None = None
         self._tile_cache: dict[tuple[int, int, int], Tile] = {}
         self.drill_log: list[dict] = []  # per-round batched-drill diagnostics
+        self._drilled = False  # append() is defined on the eager index only
+        self._append_seq = 0
         self._io = None
         self._fp = ""
         if workdir is not None:
@@ -495,6 +505,140 @@ class TilePyramid:
             return None
         return vxs[split_mask], vys[split_mask]
 
+    # ---------------------------------------------------------------- append
+
+    def append(
+        self,
+        docs_df: DataFrame | None = None,
+        features_df: DataFrame | None = None,
+        on_error: str = "raise",
+    ) -> None:
+        """Incremental append: index new documents/features, recomputing ONLY
+        the tiles their extent touches — untouched subtrees keep their
+        checkpointed level data (read back from localCheckpoint / TableIO
+        parquet manifests, never re-clipped).
+
+        The result is row/meta/stats-identical to a full rebuild over the
+        union corpus (pytest-gated): new rows descend the existing BFS
+        levels; interior (already-split) tiles pass only the NEW rows to
+        their children; a leaf whose combined num_points now exceeds
+        ``indexMaxPoints`` is newly split — its OLD rows are pulled back
+        from the level checkpoint and re-clipped together with the new
+        ones; children of new splits register exactly like the eager build
+        (all four, empties included).
+
+        Scale shape: per level, one narrow clip over the new rows + one
+        touched-tile aggregate (driver state bounded by the NEW features'
+        tile cover, not the corpus); the old-leaf pull is a pruned filter
+        on the level checkpoint.
+
+        Constraints: not defined after drill-downs (``get_tile`` misses) —
+        a rebuild would not contain them; call append first, drill after.
+        With ``generate_id``, ids are assigned per-batch (a rebuild would
+        renumber globally). With ``workdir``/TableIO, appended level stages
+        are session-local (localCheckpoint); resuming a killed process
+        replays the eager build only — re-append after resume.
+        """
+        if self._drilled:
+            raise RuntimeError(
+                "append() after drill-downs is undefined (a rebuild would "
+                "not contain drilled tiles); append first, drill after"
+            )
+        if (docs_df is None) == (features_df is None):
+            raise ValueError("pass exactly one of docs_df / features_df")
+        o = self.o
+        if features_df is None:
+            tol = (o.tolerance / o.extent) / (1 << o.max_zoom)
+            features_df = extract_features(
+                docs_df, tol, generate_id=o.generate_id, on_error=on_error
+            )
+        feats = wrap_features(
+            features_df.repartition(self._n_parts).localCheckpoint(),
+            o.buffer / o.extent,
+            o.line_metrics,
+        )
+        self._append_seq += 1
+        self._tile_features = None
+        self._tile_cache.clear()
+        new_assigned = feats.select(
+            F.lit(0).alias("z"),
+            F.lit(0).cast("long").alias("tx"),
+            F.lit(0).cast("long").alias("ty"),
+            "*",
+        )
+        expect: set[tuple[int, int, int]] = set()
+        z = 0
+        while True:
+            new_assigned = new_assigned.repartition(
+                max(1, self._n_parts // 4)
+            ).localCheckpoint()
+            nstats = {
+                (r["tx"], r["ty"]): (int(r["npts"]), int(r["nrows"]))
+                for r in new_assigned.groupBy("tx", "ty")
+                .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+                .collect()
+            }
+            if not nstats and not expect:
+                break
+            lvl_keys = set(nstats) | {(x, y) for (zz, x, y) in expect if zz == z}
+            descend_new: list[tuple[int, int]] = []  # new rows descend
+            pull_old: list[tuple[int, int]] = []  # old leaf rows re-split too
+            new_splits: list[tuple[int, int]] = []  # children need registering
+            for (x, y) in sorted(lvl_keys):
+                npts_new, rows_new = nstats.get((x, y), (0, 0))
+                key = (z, x, y)
+                if key in expect:
+                    # child of a tile split during THIS append: fresh tile,
+                    # new_assigned already carries ALL of its rows
+                    m = self._register(z, x, y, npts_new, rows_new)
+                    if rows_new == 0:
+                        continue
+                    if z == o.index_max_zoom or npts_new <= o.index_max_points:
+                        m.has_source = True
+                    else:
+                        descend_new.append((x, y))
+                        new_splits.append((x, y))
+                    continue
+                if key not in self.meta:
+                    raise AssertionError(f"append reached unregistered tile {key}")
+                m = self.meta[key]
+                was_interior = m.rows > 0 and not m.has_source
+                m.num_points += npts_new
+                m.rows += rows_new
+                if was_interior:
+                    descend_new.append((x, y))  # children exist: new rows only
+                elif z == o.index_max_zoom or m.num_points <= o.index_max_points:
+                    m.has_source = True  # leaf stays leaf (empty becomes leaf)
+                else:
+                    # leaf newly exceeds the split threshold: old rows come
+                    # back from the level checkpoint and re-split with new
+                    m.has_source = False
+                    descend_new.append((x, y))
+                    pull_old.append((x, y))
+                    new_splits.append((x, y))
+            old_lvl = self._level_assigned.get(z)
+            if pull_old:
+                descend_old = self._filter_tiles(old_lvl, pull_old)
+            if nstats:
+                self._level_assigned[z] = (
+                    new_assigned
+                    if old_lvl is None
+                    else old_lvl.unionByName(new_assigned)
+                )
+            expect = {
+                (z + 1, 2 * x + dx, 2 * y + dy)
+                for (x, y) in new_splits
+                for dx in (0, 1)
+                for dy in (0, 1)
+            }
+            if not descend_new:
+                break
+            descend = self._filter_tiles(new_assigned, descend_new)
+            if pull_old:
+                descend = descend.unionByName(descend_old)
+            new_assigned = split_children(descend, o.buffer, o.extent, o.line_metrics)
+            z += 1
+
     @staticmethod
     def _filter_tiles(df: DataFrame, tiles: list[tuple[int, int]]) -> DataFrame:
         if len(tiles) == 1:
@@ -579,6 +723,8 @@ class TilePyramid:
                 continue  # sourceless/empty ancestor: drill is a no-op
             frontier.setdefault(anc, set()).add(t)
             containers[anc] = self._source_container(anc)
+        if frontier:
+            self._drilled = True
         import time as _time
 
         while frontier:
