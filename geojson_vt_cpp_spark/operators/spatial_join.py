@@ -598,7 +598,16 @@ def distance_join(
     qid, qx, qy = query_cols
     sid, sx, sy = site_cols
     if res is None:
-        res = max(1, min(12, int(math.floor(math.log2(1.0 / radius)))))
+        # radius-based anchor: one cell ~ the radius (ring 1-2)
+        r_res = max(1, min(12, int(math.floor(math.log2(1.0 / radius)))))
+        # density adjustment (mirrors kNN's sizing): aim for ~2 sites/cell
+        # so hot grids refine (fewer candidates per cell, slightly wider
+        # ring) and sparse grids coarsen (fewer explode rows). Bounded to
+        # r_res +/- 2 so ring = ceil(radius * n) never exceeds ~4 cells —
+        # results are EXACT at any res; this only shapes the plan.
+        n_sites = sites_df.count()
+        d_res = max(1, round(math.log(max(n_sites, 4) / 2.0, 4)))
+        res = max(1, min(12, max(r_res - 2, min(r_res + 2, d_res))))
     n = 1 << res
     ring = max(1, int(math.ceil(radius * n)))
 
