@@ -319,6 +319,7 @@ def dedup_clusters(
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     doc_col: str = "doc_id",
     max_iters: int = 20,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pair graph -> (doc_id, cluster_id, cluster_size, is_keeper).
 
@@ -328,7 +329,7 @@ def dedup_clusters(
     """
     comp = connected_components(
         pairs, docs, src=pair_cols[0], dst=pair_cols[1], node_col=doc_col,
-        max_iters=max_iters,
+        max_iters=max_iters, stats_out=stats_out,
     ).select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(
