@@ -6,7 +6,7 @@ point-in-polygon join against synthetic points derived from the sf0.001
 customer table -> per-state aggregate.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 48
+(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 49
 queries, every one oracle-backed. Most are dual-dialect SQL generated from
 ONE template (geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark
 plan and the DuckDB oracle compute bit-compatible values; the spatial-join
@@ -563,6 +563,24 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, fake_decode=True)
 
 
+def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal pipeline: stub decode (deterministic;
+    the REAL stdlib-wave path is pytest-gated on encoded WAV payloads) ->
+    waveform features (operators/multimodal.py:extract_audio_features);
+    oracle literals precomputed from the same deterministic chain."""
+    from geojson_vt_cpp_spark.functions.golden_oracle import AUD_DOC_LIMIT
+    from geojson_vt_cpp_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_table,
+    )
+
+    _register_views(spark, sf_dir)
+    media = synthesize_audio_table(
+        spark.table("documents").where(F.col("doc_id") < AUD_DOC_LIMIT)
+    )
+    return extract_audio_features(media, fake_decode=True)
+
+
 def _mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail pipeline: stub decode -> REAL numpy nearest-neighbor
     resize -> per-channel features (operators/multimodal.py:resize_images);
@@ -633,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["mm_image_features"] = _mm_image_features
     qs["mm_resize_features"] = _mm_resize_features
     qs["mm_video_frames"] = _mm_video_frames
+    qs["mm_audio_features"] = _mm_audio_features
     return qs
 
 
@@ -681,4 +700,5 @@ def oracle_sql() -> dict[str, str]:
     o["mm_image_features"] = G.mm_image_features_oracle_sql()
     o["mm_resize_features"] = G.mm_resize_features_oracle_sql()
     o["mm_video_frames"] = G.mm_video_frames_oracle_sql()
+    o["mm_audio_features"] = G.mm_audio_features_oracle_sql()
     return o

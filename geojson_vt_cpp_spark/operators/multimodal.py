@@ -7,7 +7,9 @@ decode / feature-extract steps run as Arrow-batched kernels over
 Image decode is REAL for PNG: payloads starting with the PNG signature go
 through the from-scratch pure-numpy codec
 (:mod:`geojson_vt_cpp_spark.functions.png` — stdlib zlib + all five
-scanline filters, public PNG spec). Other formats (JPEG etc.) need codec
+scanline filters, public PNG spec). Audio decode is REAL for WAV (stdlib
+``wave`` + numpy, :mod:`geojson_vt_cpp_spark.functions.wav`). Other
+formats (JPEG, MP3 etc.) need codec
 libraries absent from this container, so they raise
 ``NotImplementedError`` unless ``fake=True``, which produces a
 deterministic fake decode (seeded by the payload hash) with the real
@@ -204,6 +206,94 @@ def sample_video_frames(
                     )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=["doc_id", "frame_idx", "n_frames", "mean_gray"]
+            )
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+def synthesize_audio_table(docs_df: DataFrame) -> DataFrame:
+    """Deterministic opaque audio payloads + typed metadata (sample rate /
+    sample count hash-derived, like the image/video tables)."""
+    d = F.col("doc_id").cast("string")
+
+    def hcol(tag, mod, add):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(tag), d)), 1, 15), 16, 10)
+            .cast("bigint") % mod + add
+        ).cast("int")
+
+    return docs_df.select(
+        "doc_id",
+        F.concat(F.lit("audio://"), d).alias("media_ref"),
+        F.unhex(F.md5(F.concat(F.lit("audio-"), d))).alias("payload"),
+        F.lit("audio/wav").alias("media_kind"),
+        hcol("ar-", 36_001, 8_000).alias("sample_rate"),
+        hcol("an-", 7_901, 100).alias("n_samples"),
+    )
+
+
+def decode_audio_stub(
+    payload: bytes, n_samples: int, sample_rate: int, fake: bool = False
+):
+    """Audio codec slot: real stdlib-wave decode for RIFF/WAV payloads
+    (:mod:`geojson_vt_cpp_spark.functions.wav`); deterministic fake
+    (payload-hash-seeded int16 mono) when ``fake=True``; compressed formats
+    raise. Returns ((n_frames, n_channels) int16, sample_rate)."""
+    from geojson_vt_cpp_spark.functions.wav import WAV_MAGIC, decode_wav
+
+    if not fake:
+        if payload[: len(WAV_MAGIC)] == WAV_MAGIC:
+            return decode_wav(payload)
+        raise NotImplementedError(
+            "non-WAV audio decode requires a codec library not present in "
+            "this environment; pass fake=True for the deterministic test "
+            "double"
+        )
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return (
+        rng.randint(-32768, 32768, size=(n_samples, 1)).astype(np.int16),
+        sample_rate,
+    )
+
+
+def extract_audio_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """decode -> waveform features (mean |amplitude|, RMS, zero crossings,
+    duration), Arrow-batched — the audio leg of the multimodal pipeline."""
+    schema = (
+        "doc_id long, sample_rate int, n_samples int, mean_amp double, "
+        "rms double, zero_crossings int, duration_sec double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, rate_meta, n_meta in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"],
+                pdf["sample_rate"].to_numpy(), pdf["n_samples"].to_numpy(),
+            ):
+                samples, rate = decode_audio_stub(
+                    bytes(payload), int(n_meta), int(rate_meta), fake=fake_decode
+                )
+                x = samples.astype(np.float64).mean(axis=1)  # downmix channels
+                n = x.shape[0]
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": int(rate),
+                        "n_samples": n,
+                        "mean_amp": float(np.abs(x).mean()),
+                        "rms": float(np.sqrt((x * x).mean())),
+                        "zero_crossings": zc,
+                        "duration_sec": float(n) / float(rate),
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "mean_amp", "rms",
+                    "zero_crossings", "duration_sec",
+                ]
             )
 
     return media_df.mapInPandas(kernel, schema)
