@@ -708,6 +708,26 @@ def queries_sql(dialect: str) -> dict[str, str]:
         group by cast(floor(length(text) / 100) as int)
     """
 
+    # overlapping training chunks: 200-char windows at stride 150 (50-char
+    # overlap), last partial window kept — the LLM-corpus chunking shape.
+    # greatest(.., 0): Spark's sequence(0, -1) DESCENDS for empty text.
+    n_chunk_hi = f"greatest(cast(floor((length(text)-1)/150) as int), 0)"
+    if d == "spark":
+        chunk_from = (
+            f"from documents lateral view explode(sequence(0, {n_chunk_hi})) t as i"
+        )
+    else:
+        chunk_from = (
+            f"from documents cross join generate_series(0, {MAX_DOC_CHARS // 150 + 1}) as g(i) "
+            f"where g.i <= {n_chunk_hi}"
+        )
+    q["text_chunks"] = f"""
+        select doc_id, cast(i as int) as chunk_idx,
+               substr(text, i*150 + 1, 200) as chunk_text,
+               cast(length(substr(text, i*150 + 1, 200)) as int) as chunk_chars
+        {chunk_from}
+    """
+
     # ---- multimodal metadata (decode itself is stubbed; see multimodal.py) --
     doc_str = ts("doc_id")
     w_expr = f"({hh(f'concat(~w-~, {doc_str})')} % 1920) + 1".replace("~", "'")

@@ -174,6 +174,14 @@ def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return _run(docs, "qfilter", "text_quality_filter", text_col, id_col)
 
 
+def text_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Overlapping training chunks: 200-char windows, stride 150, last
+    partial window kept — (doc_id, chunk_idx, chunk_text, chunk_chars).
+    The explode is narrow (no shuffle); chunking feeds tokenize/embed
+    stages downstream."""
+    return _run(docs, "chunks", "text_chunks", text_col, id_col)
+
+
 def _run_emb(df: DataFrame, name: str, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     tmp = f"emb_{uuid.uuid4().hex[:8]}"

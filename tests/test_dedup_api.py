@@ -36,6 +36,25 @@ def test_text_operators_run_and_agree(spark, docs):
     assert DD.ngram_jaccard(docs).count() > 0
 
 
+def test_text_chunks_windows(spark):
+    """Overlapping 200/150 chunk windows: hand-checked boundaries, last
+    partial window kept, single-chunk short docs, per-chunk coverage."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 150), (3, "c" * 151)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_chars"]
+        for r in DD.text_chunks(docs).collect()
+    }
+    # len 500: idx 0 [1..200], 1 [151..350], 2 [301..500], 3 [451..500]
+    assert got == {
+        (1, 0): 200, (1, 1): 200, (1, 2): 200, (1, 3): 50,
+        (2, 0): 150,
+        (3, 0): 151, (3, 1): 1,
+    }
+
+
 def test_jaccard_refine_adversarial_pairs(spark):
     """jaccard_refine over hand-built pairs: identical docs (1.0), partial
     overlap (exact fraction), ZERO-overlap candidates (row kept, 0.0), and
