@@ -667,6 +667,49 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from s group by split
     """
 
+    # train/val DECONTAMINATION: near-dup candidate pairs (minhash LSH
+    # bands, same sig CTE as dedup_minhash_pairs) that STRADDLE the
+    # deterministic split — exactly the leakage a training pipeline must
+    # catch before shipping an eval set. Composition, one extra join pair.
+    q["dedup_cross_split_leakage"] = sig_cte + f"""
+        , pairs as (
+          select a.doc_id as doc_a, b.doc_id as doc_b
+          from sig a join sig b on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.doc_id < b.doc_id
+          union
+          select a.doc_id, b.doc_id
+          from sig a join sig b on a.mh2 = b.mh2 and a.mh3 = b.mh3 and a.doc_id < b.doc_id
+        ),
+        s as (
+          select doc_id,
+                 case when ({split_h}) % 10 < 9 then 'train' else 'val' end as split
+          from documents
+        )
+        select p.doc_a, p.doc_b, sa.split as split_a, sb.split as split_b
+        from pairs p
+        join s sa on sa.doc_id = p.doc_a
+        join s sb on sb.doc_id = p.doc_b
+        where sa.split <> sb.split
+    """
+
+    # deterministic stratified sampling: per-language portable-hash
+    # Bernoulli rates (lang 'en' 50%, everything else 20%) + per-stratum
+    # accounting — reproducible on any cluster, no RNG state
+    samp_h = hh(f"concat('sample-', {ts('doc_id')})")
+    q["corpus_sample_stratified"] = f"""
+        with rated as (
+          select doc_id, lang,
+                 case when lang = 'en' then 50 else 20 end as pct,
+                 ({samp_h}) % 100 as bucket
+          from documents
+        )
+        select lang,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when bucket < pct then 1 else 0 end) as bigint) as n_sampled,
+               cast(min(case when bucket < pct then doc_id end) as bigint) as first_sampled,
+               cast(max(case when bucket < pct then doc_id end) as bigint) as last_sampled
+        from rated group by lang
+    """
+
     # composite quality gate: every document scored + flagged (flags, not a
     # filter, so the oracle checks the predicate on every row)
     ntok = occurrences("text", " ", d)

@@ -174,6 +174,15 @@ def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return _run(docs, "qfilter", "text_quality_filter", text_col, id_col)
 
 
+def cross_split_leakage(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Train/val decontamination: near-dup candidate pairs (minhash LSH
+    bands) that STRADDLE the deterministic split — (doc_a, doc_b, split_a,
+    split_b). Catching eval-set leakage before shipping is a first-class
+    training-pipeline stage; this composes the LSH band join with the
+    portable-hash split at zero extra shuffles beyond the pair join."""
+    return _run(docs, "leak", "dedup_cross_split_leakage", text_col, id_col)
+
+
 def text_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Overlapping training chunks: 200-char windows, stride 150, last
     partial window kept — (doc_id, chunk_idx, chunk_text, chunk_chars).

@@ -36,6 +36,37 @@ def test_text_operators_run_and_agree(spark, docs):
     assert DD.ngram_jaccard(docs).count() > 0
 
 
+def test_cross_split_leakage_straddles_only(spark, docs):
+    """Decontamination: every reported pair is a minhash candidate whose
+    endpoints land in DIFFERENT deterministic splits — and the set equals
+    the brute composition of the two underlying queries."""
+    from geojson_vt_cpp_spark.functions import dialect_sql as D
+
+    docs.createOrReplaceTempView("documents")
+    spark_sqls = D.queries_sql("spark")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql(spark_sqls["dedup_minhash_pairs"]).collect()
+    }
+    split = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql(
+            "select doc_id, case when cast(conv(substring(md5(concat('split-', "
+            "cast(doc_id as string))),1,15),16,10) as bigint) % 10 < 9 "
+            "then 'train' else 'val' end as split from documents"
+        ).collect()
+    }
+    want = {
+        (a, b, split[a], split[b]) for (a, b) in pairs if split[a] != split[b]
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["split_a"], r["split_b"])
+        for r in DD.cross_split_leakage(docs).collect()
+    }
+    assert got == want
+    assert all(sa != sb for (_, _, sa, sb) in got)
+
+
 def test_text_chunks_windows(spark):
     """Overlapping 200/150 chunk windows: hand-checked boundaries, last
     partial window kept, single-chunk short docs, per-chunk coverage."""
