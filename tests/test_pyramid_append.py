@@ -96,3 +96,51 @@ def test_append_reads_back_untouched_manifests(spark, tmp_path):
     assert before == after  # eager-level stages untouched by the append
     full.close()
     inc.close()
+
+
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_append_fuzz_equals_rebuild(spark, seed):
+    """Seeded random-geometry append fuzz: arbitrary geometry mixes
+    (dateline-adjacent wrap copies, boundary-aligned coords, all 7 type
+    kinds) split into two batches — build(first) + append(second) must
+    equal build(union) exactly, including a follow-up drill."""
+    import json
+
+    import numpy as np
+
+    from tests.test_property_pyramid import _feature
+
+    rng = np.random.RandomState(seed)
+    feats = [_feature(rng, i) for i in range(rng.randint(8, 14))]
+    cut = rng.randint(2, len(feats) - 2)
+    mk = lambda fs: json.dumps({"type": "FeatureCollection", "features": fs})
+    o = Options(index_max_zoom=3, index_max_points=2, max_zoom=14)
+
+    # same doc naming in both paths so row identity matches exactly: each
+    # feature is its own document
+    def docs_of(fs, offset):
+        from pyspark.sql import functions as F
+        parts = [
+            documents_from_fixture(spark, mk([f]), f"fz{seed}-{offset + i:03d}")
+            for i, f in enumerate(fs)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+
+    tol = (o.tolerance / o.extent) / (1 << o.max_zoom)
+    full = TilePyramid(extract_features(docs_of(feats, 0), tol), o)
+    inc = TilePyramid(extract_features(docs_of(feats[:cut], 0), tol), o)
+    inc.append(docs_df=docs_of(feats[cut:], cut))
+    _assert_same(full, inc)
+
+    rng2 = np.random.RandomState(seed + 5)
+    z = int(rng2.randint(4, 6))
+    x = int(rng2.randint(0, 1 << z))
+    y = int(rng2.randint(0, 1 << z))
+    assert inc.get_tile(z, x, y).features == full.get_tile(z, x, y).features
+    full.close()
+    inc.close()
