@@ -82,6 +82,10 @@ def ivf_index(
 
 
 def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    # deliberate broadcast NL join: the right side is the CENTROID table,
+    # bounded by n_centroids (<= dozens-to-thousands at any corpus scale,
+    # never the data) — every vector scores every centroid by design, so
+    # a broadcast nested loop IS the right plan here
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "d2", _dist2(F.col("embedding"), F.col("centroid"))
     )
