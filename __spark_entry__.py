@@ -6,7 +6,7 @@ point-in-polygon join against synthetic points derived from the sf0.001
 customer table -> per-state aggregate.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 52
+(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 55
 queries, every one oracle-backed. Most are dual-dialect SQL generated from
 ONE template (geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark
 plan and the DuckDB oracle compute bit-compatible values; the spatial-join
@@ -563,6 +563,27 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, fake_decode=True)
 
 
+def _geo_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convert-kernel geometry stats through the REAL engine path (span
+    extract -> projection -> per-ring shoelace in kernels.py) vs an
+    independent scalar recomputation from the raw fixture JSON
+    (golden_oracle._geo_feature_stats_rows: json.loads parse, scalar
+    projection, python summation loops — same published formulas, none of
+    the engine's code)."""
+    from geojson_vt_cpp_spark.operators.convert import extract_features
+    from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+
+    docs = documents_from_fixture(spark, _fixture_text(), "us-states")
+    feats = extract_features(docs, (3.0 / 4096.0) / (1 << 14))
+    return feats.selectExpr(
+        "doc_id",
+        "gtype",
+        "num_points",
+        # left fold in array order == the oracle's sequential sum
+        "aggregate(part_meta, cast(0.0 as double), (a, x) -> a + x) as area_sum",
+    )
+
+
 def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg of the multimodal pipeline: stub decode (deterministic;
     the REAL stdlib-wave path is pytest-gated on encoded WAV payloads) ->
@@ -652,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["mm_resize_features"] = _mm_resize_features
     qs["mm_video_frames"] = _mm_video_frames
     qs["mm_audio_features"] = _mm_audio_features
+    qs["geo_feature_stats"] = _geo_feature_stats
     return qs
 
 
@@ -701,4 +723,5 @@ def oracle_sql() -> dict[str, str]:
     o["mm_resize_features"] = G.mm_resize_features_oracle_sql()
     o["mm_video_frames"] = G.mm_video_frames_oracle_sql()
     o["mm_audio_features"] = G.mm_audio_features_oracle_sql()
+    o["geo_feature_stats"] = G.geo_feature_stats_oracle_sql()
     return o

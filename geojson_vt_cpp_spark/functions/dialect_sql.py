@@ -379,6 +379,67 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from pts group by 1
     """
 
+    # tile cover: the covering z8-tiles of each supplier bbox (the
+    # mapbox/tile-cover utility as a declarative query — same clamped
+    # nested explode the bbox-overlap join uses internally)
+    tcz = 8
+    tcn = 1 << tcz
+    sx_, sy_ = synth_px("s_suppkey"), synth_py("s_suppkey")
+    half = "(cast('0.011' as double) + (s_suppkey % 5) * cast('0.0037' as double))"
+
+    def _tc_clamp(e):
+        return f"cast(least(greatest(floor(({e}) * {tcn}), 0), {tcn - 1}) as bigint)"
+
+    if d == "spark":
+        tc_from = (
+            f"lateral view explode(sequence({_tc_clamp(f'({sx_}) - {half}')}, "
+            f"{_tc_clamp(f'({sx_}) + {half}')})) tx_t as tx "
+            f"lateral view explode(sequence({_tc_clamp(f'({sy_}) - {half}')}, "
+            f"{_tc_clamp(f'({sy_}) + {half}')})) ty_t as ty"
+        )
+    else:
+        tc_from = (
+            f"cross join generate_series(0, {tcn - 1}) as gx(tx) "
+            f"cross join generate_series(0, {tcn - 1}) as gy(ty) "
+            f"where gx.tx between {_tc_clamp(f'({sx_}) - {half}')} "
+            f"and {_tc_clamp(f'({sx_}) + {half}')} "
+            f"and gy.ty between {_tc_clamp(f'({sy_}) - {half}')} "
+            f"and {_tc_clamp(f'({sy_}) + {half}')}"
+        )
+    q["geo_tile_cover"] = f"""
+        select s_suppkey as box_id, {tcz} as z, tx, ty,
+               (({tcn} * ty + tx) * 32) + {tcz} as tile_id
+        from supplier {tc_from}
+    """
+
+    # k-ring: every cell within Chebyshev distance 2 of each point's cell
+    # at res 6, tagged with its ring index — the kNN/distance joins build
+    # these neighborhoods internally; this exposes them as a query surface
+    krz = 6
+    krn = 1 << krz
+    kx = f"cast(least(greatest(floor(({px}) * {krn}), 0), {krn - 1}) as bigint)"
+    ky = f"cast(least(greatest(floor(({py}) * {krn}), 0), {krn - 1}) as bigint)"
+    if d == "spark":
+        kr_from = (
+            "lateral view explode(sequence(-2, 2)) dxt as dx "
+            "lateral view explode(sequence(-2, 2)) dyt as dy"
+        )
+    else:
+        kr_from = (
+            "cross join generate_series(-2, 2) as gdx(dx) "
+            "cross join generate_series(-2, 2) as gdy(dy)"
+        )
+    q["geo_cell_kring"] = f"""
+        with pts as (select c_custkey as point_id, {kx} as ix, {ky} as iy from customer)
+        select point_id,
+               cast(greatest(abs(dx), abs(dy)) as int) as ring,
+               (ix + dx) as nx, (iy + dy) as ny,
+               ({krn} * (iy + dy) + (ix + dx)) as cell
+        from pts {kr_from}
+        where ix + dx >= 0 and ix + dx < {krn}
+          and iy + dy >= 0 and iy + dy < {krn}
+    """
+
     z = 7
     n = 1 << z
     q["geo_tile_codec"] = f"""
