@@ -115,6 +115,37 @@ def test_jaccard_refine_adversarial_pairs(spark):
     }
 
 
+def test_jaccard_refine_randomized_vs_python(spark):
+    """Seeded random corpus (ragged lengths incl. shorter-than-n texts,
+    small alphabet for dense gram collisions) x random pairs, checked
+    against a pure-python set-based Jaccard in one batch."""
+    import random
+
+    rng = random.Random(99)
+    texts = {
+        i: "".join(rng.choice("abcd ") for _ in range(rng.randint(1, 60)))
+        for i in range(40)
+    }
+    pairs = {(a, rng.randrange(40)) for a in range(40)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def grams(t):
+        return {t[i:i + 4] for i in range(max(len(t) - 3, 1))}
+
+    want = {}
+    for a, b in pairs:
+        ga, gb = grams(texts[a]), grams(texts[b])
+        ni = len(ga & gb)
+        want[(a, b)] = (ni, len(ga), len(gb), round(ni / (len(ga) + len(gb) - ni), 6))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in DD.jaccard_refine(pdf, docs, n=4).collect()
+    }
+    assert got == want and len(got) >= 30
+
+
 def test_minhash_jaccard_chain_matches_declarative_twin(spark, docs):
     """The chained operator (minhash pairs -> jaccard_refine) must equal
     the declarative dual-dialect template run through Spark SQL."""
