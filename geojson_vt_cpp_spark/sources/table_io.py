@@ -12,9 +12,14 @@ the same semantics as a thin table layer:
   manifest);
 - ``run_stage`` skips execution when a complete manifest with matching
   inputs exists and just reads the table back — idempotent resume;
+- every rewrite of a stage creates a NEW versioned snapshot
+  (``v000/ v001/ ...``) and archives the superseded manifest, so
+  ``read_snapshot(name, version)`` time-travels to any retained version
+  and ``snapshots(name)`` lists the full lineage history;
+  ``expire_snapshots`` is the Iceberg-style retention maintenance;
 - swap-in point for real Iceberg: replace ``_write``/``_read`` with
   ``df.writeTo(...)`` catalog calls; the manifest maps onto Iceberg
-  snapshot metadata.
+  snapshot metadata, versions onto snapshot ids.
 """
 
 from __future__ import annotations
@@ -66,6 +71,75 @@ class TableIO:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, p)  # atomic: completion appears all-or-nothing
 
+    # ------------------------------------------------------------ snapshots
+
+    @staticmethod
+    def _version_of(m: dict) -> int:
+        return int(m.get("version", 0))
+
+    @staticmethod
+    def _data_dir_of(m: dict) -> str:
+        return m.get("data_dir", "data")
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All retained snapshot manifests of a stage, oldest first —
+        archived versions (``_manifest.vNNN.json``) plus the current one."""
+        d = os.path.join(self.workdir, name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in os.listdir(d):
+            if fn == "_manifest.json" or (
+                fn.startswith("_manifest.v") and fn.endswith(".json")
+            ):
+                with open(os.path.join(d, fn)) as f:
+                    m = json.load(f)
+                if m.get("complete"):
+                    out.append(m)
+        return sorted(out, key=self._version_of)
+
+    def read_snapshot(self, name: str, version: int | None = None) -> DataFrame:
+        """Time travel: the stage's table as of ``version`` (default: the
+        current snapshot). Raises KeyError for expired/unknown versions."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise KeyError(f"stage {name!r} has no complete snapshots")
+        if version is None:
+            m = snaps[-1]
+        else:
+            by_v = {self._version_of(s): s for s in snaps}
+            if version not in by_v:
+                raise KeyError(
+                    f"stage {name!r} has no snapshot v{version} "
+                    f"(retained: {sorted(by_v)})"
+                )
+            m = by_v[version]
+        return self.spark.read.parquet(
+            os.path.join(self.workdir, name, self._data_dir_of(m))
+        )
+
+    def expire_snapshots(self, name: str, keep: int = 1) -> int:
+        """Iceberg-style retention: drop all but the newest ``keep``
+        snapshots (data dirs + archived manifests; the current manifest is
+        never removed). Returns the number of snapshots expired."""
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        snaps = self.snapshots(name)
+        expired = 0
+        for m in snaps[:-keep] if len(snaps) > keep else []:
+            v = self._version_of(m)
+            shutil.rmtree(
+                os.path.join(self.workdir, name, self._data_dir_of(m)),
+                ignore_errors=True,
+            )
+            ap = os.path.join(self.workdir, name, f"_manifest.v{v:03d}.json")
+            if os.path.exists(ap):
+                os.remove(ap)
+            expired += 1
+        return expired
+
     # --------------------------------------------------------------- stages
 
     def run_stage(
@@ -84,14 +158,21 @@ class TableIO:
         """
         want_inputs = list(inputs)
         m = self.read_manifest(name)
-        path = os.path.join(self.workdir, name, "data")
         if (
             m is not None
             and m.get("inputs") == want_inputs
             and m.get("fingerprint") == fingerprint
         ):
+            path = os.path.join(self.workdir, name, self._data_dir_of(m))
             df = self.spark.read.parquet(path)
             return StageResult(name, df, m["snapshot_id"], True, m["total_rows"])
+
+        # new snapshot version: superseded data stays readable via
+        # read_snapshot until expire_snapshots drops it
+        version = self._version_of(m) + 1 if m is not None else 0
+        data_dir = f"v{version:03d}"
+        path = os.path.join(self.workdir, name, data_dir)
+        os.makedirs(os.path.join(self.workdir, name), exist_ok=True)
 
         df = build()
         writer = df.write.mode("overwrite")
@@ -116,11 +197,24 @@ class TableIO:
                 sort_keys=True, default=str,
             ).encode()
         ).hexdigest()[:16]
+        # archive the superseded manifest so its snapshot stays listed
+        if m is not None:
+            old_v = self._version_of(m)
+            cur = self._manifest_path(name)
+            if os.path.exists(cur):
+                os.replace(
+                    cur,
+                    os.path.join(
+                        self.workdir, name, f"_manifest.v{old_v:03d}.json"
+                    ),
+                )
         self._write_manifest(
             name,
             {
                 "stage": name,
                 "snapshot_id": snapshot_id,
+                "version": version,
+                "data_dir": data_dir,
                 "inputs": want_inputs,
                 "fingerprint": fingerprint,
                 "partitions": per_file,

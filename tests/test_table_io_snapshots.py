@@ -1,0 +1,72 @@
+"""TableIO snapshot versioning: every stage rewrite creates a new
+retained version; time-travel reads, lineage history, resume stability,
+and Iceberg-style retention expiry."""
+
+from __future__ import annotations
+
+import pytest
+
+from geojson_vt_cpp_spark.sources.table_io import TableIO
+
+pytestmark = pytest.mark.spark
+
+
+def _stage(io, n, fp):
+    return io.run_stage(
+        "nums",
+        lambda: io.spark.range(n).selectExpr("id", "id * 2 as dbl"),
+        fingerprint=fp,
+    )
+
+
+def test_rewrite_creates_new_snapshot_and_time_travel(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    r0 = _stage(io, 10, "fp-a")
+    assert not r0.resumed and r0.rows == 10
+
+    # matching (inputs, fingerprint): resume, NO new version
+    r0b = _stage(io, 10, "fp-a")
+    assert r0b.resumed and r0b.snapshot_id == r0.snapshot_id
+    assert len(io.snapshots("nums")) == 1
+
+    # changed fingerprint: new snapshot; the old one stays readable
+    r1 = _stage(io, 25, "fp-b")
+    assert not r1.resumed and r1.rows == 25
+    snaps = io.snapshots("nums")
+    assert [s["version"] for s in snaps] == [0, 1]
+    assert [s["fingerprint"] for s in snaps] == ["fp-a", "fp-b"]
+    assert io.read_snapshot("nums", 0).count() == 10  # time travel
+    assert io.read_snapshot("nums", 1).count() == 25
+    assert io.read_snapshot("nums").count() == 25  # default = current
+    assert snaps[0]["snapshot_id"] == r0.snapshot_id
+    assert snaps[1]["snapshot_id"] == r1.snapshot_id
+
+    # current read path (run_stage resume) serves the NEW version
+    r1b = _stage(io, 25, "fp-b")
+    assert r1b.resumed and r1b.df.count() == 25
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    for i, fp in enumerate(["a", "b", "c"]):
+        _stage(io, 10 + i, fp)
+    assert [s["version"] for s in io.snapshots("nums")] == [0, 1, 2]
+
+    assert io.expire_snapshots("nums", keep=2) == 1
+    assert [s["version"] for s in io.snapshots("nums")] == [1, 2]
+    with pytest.raises(KeyError, match="no snapshot v0"):
+        io.read_snapshot("nums", 0)
+    assert io.read_snapshot("nums", 1).count() == 11
+
+    # keep=1 drops everything but current; current remains intact
+    assert io.expire_snapshots("nums", keep=1) == 1
+    assert [s["version"] for s in io.snapshots("nums")] == [2]
+    assert io.read_snapshot("nums").count() == 12
+    with pytest.raises(ValueError):
+        io.expire_snapshots("nums", keep=0)
+
+
+def test_unknown_stage_raises(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    with pytest.raises(KeyError, match="no complete snapshots"):
+        io.read_snapshot("nope")
