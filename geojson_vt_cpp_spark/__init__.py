@@ -38,9 +38,21 @@ def __getattr__(name):
         "geojson_to_tile_df": "geojson_vt_cpp_spark.operators.tile_one_shot",
         "point_in_polygon_join": "geojson_vt_cpp_spark.operators.spatial_join",
         "knn_join": "geojson_vt_cpp_spark.operators.spatial_join",
+        "distance_join": "geojson_vt_cpp_spark.operators.spatial_join",
+        "bbox_overlap_join": "geojson_vt_cpp_spark.operators.spatial_join",
         "raster_vector_overlay": "geojson_vt_cpp_spark.operators.spatial_join",
+        "as_of_join": "geojson_vt_cpp_spark.operators.temporal",
+        "jaccard_refine": "geojson_vt_cpp_spark.operators.dedup",
+        "minhash_near_dup_pairs": "geojson_vt_cpp_spark.operators.dedup",
+        "connected_components": "geojson_vt_cpp_spark.operators.dedup",
+        "dedup_clusters": "geojson_vt_cpp_spark.operators.dedup",
+        "cross_split_leakage": "geojson_vt_cpp_spark.operators.dedup",
+        "text_chunks": "geojson_vt_cpp_spark.operators.dedup",
+        "decode_png": "geojson_vt_cpp_spark.functions.png",
+        "decode_wav": "geojson_vt_cpp_spark.functions.wav",
         "documents_from_fixture": "geojson_vt_cpp_spark.sources.documents",
         "checkpointed_pipeline": "geojson_vt_cpp_spark.sources.table_io",
+        "TableIO": "geojson_vt_cpp_spark.sources.table_io",
     }
     if name in lazy:
         return getattr(importlib.import_module(lazy[name]), name)
