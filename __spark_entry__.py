@@ -450,8 +450,6 @@ def _pyramid_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_SINK_SEQ = [0]
-
 
 def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregate run availableNow over the
@@ -473,16 +471,18 @@ def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(src)
-    # drop the previous call's memory sink (it holds full results in driver
-    # memory) before registering a new one
-    if _STREAM_SINK_SEQ[0] > 0:
-        spark.catalog.dropTempView(f"gvt_hourly_sink_{_STREAM_SINK_SEQ[0]}")
-    _STREAM_SINK_SEQ[0] += 1
-    sink = f"gvt_hourly_sink_{_STREAM_SINK_SEQ[0]}"
+    # durable per-batch parquet sink (the idempotent pattern
+    # streaming/spatial.py uses) — nothing accumulates in driver memory
+    out_dir = f"{work}/out"
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(batch_id)}"
+        )
+
     q = (
         stream_events_hourly(stream, late_threshold="0 seconds")
-        .writeStream.format("memory")
-        .queryName(sink)
+        .writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .option("checkpointLocation", f"{work}/ck")
         .trigger(availableNow=True)
@@ -491,18 +491,21 @@ def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished = q.awaitTermination(600)
     if not finished:
         # timed out: stop the query BEFORE deleting its checkpoint/source out
-        # from under it, and fail rather than return a partial memory sink
+        # from under it, and fail rather than return partial results
         q.stop()
         shutil.rmtree(work, ignore_errors=True)
         raise TimeoutError("stream_events_hourly did not finish within 600 s")
-    # the memory sink holds the rows in-session; the staged source files and
-    # checkpoint are no longer needed
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.table(sink).select(
-        "event_type", "hour_bucket",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value").cast("double").alias("sum_value"),
+    out = (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_type", "hour_bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize so the staging dir can go
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 STREAM_HOURLY_ORACLE = """
