@@ -520,6 +520,30 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from bits group by doc_id
     """
 
+    # simhash near-dup pairs: Hamming-LSH with GUARANTEED recall — 4 bands
+    # of 4 bits, so any pair at hamming distance <= 3 shares at least one
+    # identical band (pigeonhole); candidates refine by exact popcount on
+    # the xor. Completes the simhash family (fingerprint -> pairs).
+    xor_ = (lambda a, b: f"({a} ^ {b})") if d == "spark" else (
+        lambda a, b: f"xor({a}, {b})"
+    )
+    band_joins = "\n union \n".join(
+        f"""select a.doc_id as doc_a, b.doc_id as doc_b,
+                   a.simhash16 as sh_a, b.simhash16 as sh_b
+            from sh a join sh b
+              on (a.simhash16 >> {4 * i}) % 16 = (b.simhash16 >> {4 * i}) % 16
+             and a.doc_id < b.doc_id"""
+        for i in range(4)
+    )
+    q["dedup_simhash_pairs"] = f"""
+        with sh as ({q["dedup_simhash"]}),
+        cand as ({band_joins})
+        select doc_a, doc_b,
+               cast(bit_count({xor_('sh_a', 'sh_b')}) as int) as hamming
+        from cand
+        where bit_count({xor_('sh_a', 'sh_b')}) <= 3
+    """
+
     q["dedup_ngram_jaccard"] = f"""
         with grams as (
           select distinct doc_id, substr(text, i, 4) as g {_shingles_from(d, n=4)}
@@ -810,6 +834,35 @@ def queries_sql(dialect: str) -> dict[str, str]:
                cast(max(length(text)) as int) as max_chars
         from documents
         group by cast(floor(length(text) / 100) as int)
+    """
+
+    # tf-idf top terms: per-document top-3 distinctive words. Rank key is
+    # (ROUNDED score desc, term asc) in both dialects so a last-ULP ln()
+    # difference between libm implementations cannot flip row selection.
+    # Scale shape: df is a corpus-wide partial-aggregable term count; the
+    # per-doc window partition is bounded by the document's vocabulary.
+    q["text_tfidf_top_terms"] = f"""
+        with words as (select doc_id, w {_words_from(d)}),
+        tf as (
+          select doc_id, w, count(*) as tf
+          from words where length(w) > 0 group by doc_id, w
+        ),
+        df as (select w, count(distinct doc_id) as df from tf group by w),
+        n as (select count(distinct doc_id) as n_docs from tf),
+        scored as (
+          select tf.doc_id, tf.w as term,
+                 round(tf.tf * ln(cast(n.n_docs as double) / df.df), 6) as tfidf
+          from tf join df on df.w = tf.w cross join n
+        ),
+        ranked as (
+          select doc_id, term, tfidf,
+                 row_number() over (
+                   partition by doc_id order by tfidf desc, term asc
+                 ) as rnk
+          from scored
+        )
+        select doc_id, cast(rnk as int) as term_rank, term, tfidf
+        from ranked where rnk <= 3
     """
 
     # overlapping training chunks: 200-char windows at stride 150 (50-char

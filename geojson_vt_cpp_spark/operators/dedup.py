@@ -74,6 +74,19 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return _run(docs, "jaccard", "dedup_ngram_jaccard", text_col, id_col)
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs: 4x4-bit Hamming-LSH bands (guaranteed
+    complete for distance <= 3 by pigeonhole) refined by exact popcount —
+    (doc_a, doc_b, hamming)."""
+    return _run(docs, "shp", "dedup_simhash_pairs", text_col, id_col)
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-3 distinctive terms by tf-idf (deterministic
+    rounded-score + term tie-break)."""
+    return _run(docs, "tfidf", "text_tfidf_top_terms", text_col, id_col)
+
+
 def jaccard_refine(
     pairs: DataFrame,
     docs: DataFrame,

@@ -36,6 +36,43 @@ def test_text_operators_run_and_agree(spark, docs):
     assert DD.ngram_jaccard(docs).count() > 0
 
 
+def test_simhash_pairs_exhaustive_completeness(spark, docs):
+    """Hamming-LSH recall guarantee, checked exhaustively: the band-join
+    candidates filtered at hamming <= 3 must equal ALL pairs at hamming
+    <= 3 computed brute-force over the collected simhash table."""
+    sh = {r["doc_id"]: r["simhash16"] for r in DD.simhash(docs).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_pairs(docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "a d")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["term_rank"]): (r["term"], r["tfidf"])
+        for r in DD.tfidf_top_terms(docs).collect()
+    }
+    ln3 = round(math.log(3.0), 6)
+    assert got == {
+        (0, 1): ("b", ln3), (0, 2): ("a", 0.0),
+        (1, 1): ("c", ln3), (1, 2): ("a", 0.0),
+        (2, 1): ("d", ln3), (2, 2): ("a", 0.0),
+    }
+
+
 def test_cross_split_leakage_straddles_only(spark, docs):
     """Decontamination: every reported pair is a minhash candidate whose
     endpoints land in DIFFERENT deterministic splits — and the set equals
