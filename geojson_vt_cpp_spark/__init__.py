@@ -48,6 +48,8 @@ def __getattr__(name):
         "dedup_clusters": "geojson_vt_cpp_spark.operators.dedup",
         "cross_split_leakage": "geojson_vt_cpp_spark.operators.dedup",
         "text_chunks": "geojson_vt_cpp_spark.operators.dedup",
+        "changed_tiles": "geojson_vt_cpp_spark.operators.tile_diff",
+        "tile_digests": "geojson_vt_cpp_spark.operators.tile_diff",
         "decode_png": "geojson_vt_cpp_spark.functions.png",
         "decode_wav": "geojson_vt_cpp_spark.functions.wav",
         "documents_from_fixture": "geojson_vt_cpp_spark.sources.documents",
