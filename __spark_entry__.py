@@ -6,7 +6,7 @@ point-in-polygon join against synthetic points derived from the sf0.001
 customer table -> per-state aggregate.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 57
+(SURVEY.md §2 + the north-rule §2.11 operators + training-data ops): 58
 queries, every one oracle-backed. Most are dual-dialect SQL generated from
 ONE template (geojson_vt_cpp_spark/functions/dialect_sql.py) so the Spark
 plan and the DuckDB oracle compute bit-compatible values; the spatial-join

@@ -412,6 +412,27 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from supplier {tc_from}
     """
 
+    # zonal statistics: deterministic raster values (portable hash of the
+    # cell key) aggregated over each zone's cell cover — the classic
+    # raster<->vector zonal-stats workload on the same clamped cover
+    # explode as geo_tile_cover; partial aggregation absorbs the cover
+    # fan-out map-side
+    zval = hh(f"concat('rv-', {ts(f'{tcn} * ty + tx')})")
+    q["geo_zonal_stats"] = f"""
+        with cover as (
+          select s_suppkey as zone_id, tx, ty from supplier {tc_from}
+        ),
+        valued as (
+          select zone_id, tx, ty, ({zval}) % 1000 as rv from cover
+        )
+        select zone_id,
+               cast(count(*) as bigint) as n_cells,
+               cast(sum(rv) as bigint) as sum_val,
+               cast(min(rv) as int) as min_val,
+               cast(max(rv) as int) as max_val
+        from valued group by zone_id
+    """
+
     # k-ring: every cell within Chebyshev distance 2 of each point's cell
     # at res 6, tagged with its ring index — the kNN/distance joins build
     # these neighborhoods internally; this exposes them as a query surface
