@@ -310,6 +310,17 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash Hamming-LSH pairs through the ENGINE operator (signature
+    table materialized once, four band joins probe it) — the dual-dialect
+    template stays as the DuckDB oracle, where inlining the signature CTE
+    eight times is the oracle's privilege, not the engine's plan."""
+    from geojson_vt_cpp_spark.operators.dedup import simhash_pairs
+
+    _register_views(spark, sf_dir)
+    return simhash_pairs(spark.table("documents"))
+
+
 def _dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained dedup: minhash LSH candidate pairs -> generic exact
     char-4-gram Jaccard refinement (operators/dedup.py jaccard_refine —
@@ -668,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["sim_ivf_search"] = _sim_ivf_search
     qs["dedup_clusters"] = _dedup_clusters
     qs["dedup_minhash_jaccard"] = _dedup_minhash_jaccard
+    qs["dedup_simhash_pairs"] = _dedup_simhash_pairs
     qs["stream_events_hourly"] = _stream_events_hourly
     qs["stream_pip_triangles"] = _stream_pip_triangles
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom

@@ -77,8 +77,34 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup pairs: 4x4-bit Hamming-LSH bands (guaranteed
     complete for distance <= 3 by pigeonhole) refined by exact popcount —
-    (doc_a, doc_b, hamming)."""
-    return _run(docs, "shp", "dedup_simhash_pairs", text_col, id_col)
+    (doc_a, doc_b, hamming).
+
+    Scale shape: the signature table materializes ONCE (localCheckpoint),
+    then the four band joins probe it — the declarative twin in
+    dialect_sql inlines the signature CTE into all eight join sides
+    (8 corpus passes), which is fine for the oracle but not for 10^12
+    docs. Each band join is an ordinary equi-join on a 4-bit band value
+    with the band index acting as a built-in salt.
+    """
+    sh = simhash(docs, text_col, id_col).localCheckpoint()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sh_b"))
+    cand = None
+    for i in range(4):
+        j = a.join(
+            b,
+            (F.expr(f"(sh_a >> {4 * i}) % 16") == F.expr(f"(sh_b >> {4 * i}) % 16"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        cand = j if cand is None else cand.union(j)
+    return (
+        cand.distinct()
+        .where(F.expr("bit_count(sh_a ^ sh_b) <= 3"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr("cast(bit_count(sh_a ^ sh_b) as int)").alias("hamming"),
+        )
+    )
 
 
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
