@@ -310,6 +310,24 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash LSH pairs through the ENGINE operator (signatures
+    materialized once; the template oracle may recompute its CTE)."""
+    from geojson_vt_cpp_spark.operators.dedup import minhash_near_dup_pairs
+
+    _register_views(spark, sf_dir)
+    return minhash_near_dup_pairs(spark.table("documents"))
+
+
+def _dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the ENGINE operator (pair operator + split
+    joins) against the dual-dialect template oracle."""
+    from geojson_vt_cpp_spark.operators.dedup import cross_split_leakage
+
+    _register_views(spark, sf_dir)
+    return cross_split_leakage(spark.table("documents"))
+
+
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash Hamming-LSH pairs through the ENGINE operator (signature
     table materialized once, four band joins probe it) — the dual-dialect
@@ -680,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["dedup_clusters"] = _dedup_clusters
     qs["dedup_minhash_jaccard"] = _dedup_minhash_jaccard
     qs["dedup_simhash_pairs"] = _dedup_simhash_pairs
+    qs["dedup_minhash_pairs"] = _dedup_minhash_pairs
+    qs["dedup_cross_split_leakage"] = _dedup_cross_split_leakage
     qs["stream_events_hourly"] = _stream_events_hourly
     qs["stream_pip_triangles"] = _stream_pip_triangles
     qs["pyramid_tiles_per_zoom"] = _pyramid_tiles_per_zoom

@@ -60,8 +60,27 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """LSH band join (2 bands x 2 rows) -> candidate near-dup pairs."""
-    return _run(docs, "mh_pairs", "dedup_minhash_pairs", text_col, id_col)
+    """LSH band join (2 bands x 2 rows) -> candidate near-dup pairs.
+
+    Scale shape: the signature table materializes ONCE (localCheckpoint)
+    and both band joins probe it — Spark inlines multi-referenced CTEs,
+    so the declarative template recomputes the shingle+min aggregate on
+    every join side (measured: 10 HashAggregate subtrees, 0 reuse); fine
+    for the oracle, one corpus pass here.
+    """
+    sig = minhash_signatures(docs, text_col, id_col).localCheckpoint()
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "mh0", "mh1", "mh2", "mh3"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mh0").alias("n0"), F.col("mh1").alias("n1"),
+        F.col("mh2").alias("n2"), F.col("mh3").alias("n3"),
+    )
+    lt = F.col("doc_a") < F.col("doc_b")
+    p1 = a.join(b, (F.col("mh0") == F.col("n0")) & (F.col("mh1") == F.col("n1")) & lt)
+    p2 = a.join(b, (F.col("mh2") == F.col("n2")) & (F.col("mh3") == F.col("n3")) & lt)
+    return p1.select("doc_a", "doc_b").union(p2.select("doc_a", "doc_b")).distinct()
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -217,9 +236,23 @@ def cross_split_leakage(docs: DataFrame, text_col: str = "text", id_col: str = "
     """Train/val decontamination: near-dup candidate pairs (minhash LSH
     bands) that STRADDLE the deterministic split — (doc_a, doc_b, split_a,
     split_b). Catching eval-set leakage before shipping is a first-class
-    training-pipeline stage; this composes the LSH band join with the
-    portable-hash split at zero extra shuffles beyond the pair join."""
-    return _run(docs, "leak", "dedup_cross_split_leakage", text_col, id_col)
+    training-pipeline stage. Composition: the once-materialized pair
+    operator joined twice against the portable-hash split assignment."""
+    split_expr = (
+        "case when "
+        + D.hexhash(f"concat('split-', cast({id_col} as string))", "spark")
+        + " % 10 < 9 then 'train' else 'val' end"
+    )
+    split = docs.selectExpr(f"{id_col} as doc_id", f"{split_expr} as split")
+    pairs = minhash_near_dup_pairs(docs, text_col, id_col)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
 
 
 def text_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
