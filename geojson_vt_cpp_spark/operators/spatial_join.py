@@ -495,11 +495,14 @@ def knn_join(
         .localCheckpoint()
     )
     safe2 = (ring * cell_size) ** 2
+    # materialized once: good, the straggler probe, AND the auto-fallback
+    # isEmpty gate all read cert — without this each consumer re-runs the
+    # certification aggregate over the ranked checkpoint
     cert = ranked.groupBy(qid).agg(
         F.count("*").alias("n_cand"), F.max("dist2").alias("kth_d2")
     ).withColumn(
         "certified", (F.col("n_cand") >= k) & (F.col("kth_d2") < safe2)
-    )
+    ).localCheckpoint()
     good = ranked.join(cert.where("certified").select(qid), qid, "inner")
 
     # stragglers: uncertified queries plus queries with zero candidates
