@@ -146,13 +146,18 @@ def minhash_jaccard_sql(dialect: str) -> str:
         )
         select p.doc_a, p.doc_b,
                cast(coalesce(i.n_inter, 0) as bigint) as n_inter,
-               cast(sa.n as bigint) as n_a, cast(sb.n as bigint) as n_b,
-               round(cast(coalesce(i.n_inter, 0) as double)
-                     / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) as jaccard
+               cast(coalesce(sa.n, 0) as bigint) as n_a,
+               cast(coalesce(sb.n, 0) as bigint) as n_b,
+               case when coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                         - coalesce(i.n_inter, 0) > 0
+                    then round(cast(coalesce(i.n_inter, 0) as double)
+                               / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                                  - coalesce(i.n_inter, 0)), 6)
+                    else cast(0.0 as double) end as jaccard
         from pairs p
         left join inter i on i.doc_a = p.doc_a and i.doc_b = p.doc_b
-        join sizes sa on sa.doc_id = p.doc_a
-        join sizes sb on sb.doc_id = p.doc_b
+        left join sizes sa on sa.doc_id = p.doc_a
+        left join sizes sb on sb.doc_id = p.doc_b
     """
 
 

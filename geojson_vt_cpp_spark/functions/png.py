@@ -125,6 +125,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
+        idx_max = int(img[:, :, 0].max()) if img.size else 0
+        if idx_max >= len(palette):
+            raise ValueError(
+                f"palette index {idx_max} out of range "
+                f"(PLTE has {len(palette)} entries)"
+            )
         img = palette[img[:, :, 0]]
     return img
 

@@ -180,19 +180,28 @@ def jaccard_refine(
         F.col("grams").alias("gb"),
         F.col("n_grams").alias("n_b"),
     )
-    ni = F.size(F.array_intersect("ga", "gb")).cast("bigint")
+    # LEFT joins + coalesce: candidate pairs whose doc_a/doc_b are absent
+    # from docs (or whose null text produced no gram row) keep their row
+    # with counts 0 / jaccard 0.0, honoring the one-row-per-input-pair
+    # contract for arbitrary candidate-pair inputs
+    ni = F.coalesce(
+        F.size(F.array_intersect("ga", "gb")).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    na = F.coalesce(F.col("n_a"), F.lit(0).cast("bigint"))
+    nb = F.coalesce(F.col("n_b"), F.lit(0).cast("bigint"))
+    denom = na + nb - ni
     return (
-        p.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        p.join(ga, "doc_a", "left")
+        .join(gb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
             ni.alias("n_inter"),
-            "n_a",
-            "n_b",
-            F.round(ni.cast("double") / (F.col("n_a") + F.col("n_b") - ni), 6).alias(
-                "jaccard"
-            ),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.when(denom > 0, F.round(ni.cast("double") / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
 

@@ -578,7 +578,7 @@ class TilePyramid:
             o.line_metrics,
         )
         self._append_seq += 1
-        self._tile_features = None
+        self._invalidate_tile_features()
         self._tile_cache.clear()
         new_assigned = feats.select(
             F.lit(0).alias("z"),
@@ -782,7 +782,7 @@ class TilePyramid:
                 union, o.buffer, o.extent, o.line_metrics
             ).localCheckpoint()
             self._extra_assigned.append(children)
-            self._tile_features = None  # invalidate union cache
+            self._invalidate_tile_features()  # invalidate union cache
             _t1 = _time.time()
             cstats = {
                 (r["z"], r["tx"], r["ty"]): (r["npts"], r["nrows"])
@@ -1032,6 +1032,14 @@ class TilePyramid:
                 }
             )
         return out
+
+    def _invalidate_tile_features(self) -> None:
+        # release the persist()-ed blocks BEFORE dropping the reference —
+        # repeated append/get_tiles-miss cycles in a long-lived session
+        # would otherwise leak cached blocks until the executor evicts them
+        if self._tile_features is not None:
+            self._tile_features.unpersist()
+        self._tile_features = None
 
     def close(self) -> None:
         if self._tile_features is not None:

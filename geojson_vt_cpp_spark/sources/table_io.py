@@ -158,6 +158,13 @@ class TableIO:
         """
         want_inputs = list(inputs)
         m = self.read_manifest(name)
+        if m is None:
+            # kill window: a crash after archiving the superseded manifest
+            # but before writing its successor leaves only archived
+            # manifests — the newest retained snapshot is the de-facto
+            # current one for resume purposes
+            archived = self.snapshots(name)
+            m = archived[-1] if archived else None
         if (
             m is not None
             and m.get("inputs") == want_inputs
@@ -168,8 +175,14 @@ class TableIO:
             return StageResult(name, df, m["snapshot_id"], True, m["total_rows"])
 
         # new snapshot version: superseded data stays readable via
-        # read_snapshot until expire_snapshots drops it
-        version = self._version_of(m) + 1 if m is not None else 0
+        # read_snapshot until expire_snapshots drops it. Derived from the
+        # max over ALL retained snapshots (archived manifests included), not
+        # just the current one: a kill between archiving the current
+        # manifest and writing its successor leaves no _manifest.json, and
+        # restarting at version 0 would overwrite the archived v000
+        # snapshot's data while _manifest.v000.json still advertises it.
+        snaps = self.snapshots(name)
+        version = self._version_of(snaps[-1]) + 1 if snaps else 0
         data_dir = f"v{version:03d}"
         path = os.path.join(self.workdir, name, data_dir)
         os.makedirs(os.path.join(self.workdir, name), exist_ok=True)

@@ -134,11 +134,16 @@ def test_jaccard_refine_adversarial_pairs(spark):
             (3, "zzzzzz"),   # grams: zzzz (1 distinct)
             (4, "abcdef"),   # identical to doc 1
             (5, "ab"),       # short text: single gram 'ab'
+            (6, None),       # null text: no gram row at all
         ],
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (3, 5)], "doc_a long, doc_b long"
+        # (1, 6): null-text doc; (7, 1): doc_a absent from docs entirely —
+        # both must keep their row (counts 0, jaccard 0.0), the
+        # one-row-per-input-pair contract for arbitrary candidate pairs
+        [(1, 2), (1, 3), (1, 4), (3, 5), (1, 6), (7, 1)],
+        "doc_a long, doc_b long",
     )
     got = {
         (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
@@ -149,6 +154,8 @@ def test_jaccard_refine_adversarial_pairs(spark):
         (1, 3): (0, 3, 1, 0.0),   # zero-overlap pair is retained
         (1, 4): (3, 3, 3, 1.0),
         (3, 5): (0, 1, 1, 0.0),
+        (1, 6): (0, 3, 0, 0.0),   # null-text doc: row kept, counts 0
+        (7, 1): (0, 0, 3, 0.0),   # missing doc id: row kept, counts 0
     }
 
 

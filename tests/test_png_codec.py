@@ -85,6 +85,20 @@ def test_palette_png_decodes_to_rgb():
     assert out[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
 
 
+def test_palette_index_out_of_range_is_loud():
+    """A malformed palette PNG whose pixel indexes past the PLTE table must
+    raise the codec's ValueError, not an opaque numpy IndexError."""
+    plte = bytes([255, 0, 0, 0, 255, 0])  # only 2 entries
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1, 5])))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index 5 out of range"):
+        decode_png(png)
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match="bad signature"):
         decode_png(b"GIF89a" + b"\x00" * 20)

@@ -66,6 +66,42 @@ def test_expire_snapshots_retention(spark, tmp_path):
         io.expire_snapshots("nums", keep=0)
 
 
+def test_kill_between_archive_and_manifest_write(spark, tmp_path):
+    """Crash-window recovery: run_stage archives the superseded manifest
+    (os.replace -> _manifest.vNNN.json) before writing its successor. A
+    kill in that window leaves NO current _manifest.json; recovery must
+    (a) resume from the archived snapshot on matching inputs/fingerprint,
+    (b) continue version numbering past the archived max on a rewrite —
+    never restart at v000 and destroy the archived snapshot's data."""
+    import os
+
+    io = TableIO(spark, str(tmp_path / "wd"))
+    r0 = _stage(io, 10, "fp-a")
+    stage_dir = tmp_path / "wd" / "nums"
+
+    # simulate the kill: manifest archived, successor never written
+    os.replace(
+        stage_dir / "_manifest.json", stage_dir / "_manifest.v000.json"
+    )
+    assert io.read_manifest("nums") is None
+
+    # (a) same inputs/fingerprint: resumes from the archived snapshot
+    r0b = _stage(io, 10, "fp-a")
+    assert r0b.resumed and r0b.snapshot_id == r0.snapshot_id
+    assert r0b.df.count() == 10
+
+    # (b) changed fingerprint in the SAME crashed state (resume does not
+    # rewrite the current manifest): new version is 1, not 0
+    assert not (stage_dir / "_manifest.json").exists()
+    r1 = _stage(io, 25, "fp-b")
+    assert not r1.resumed
+    snaps = io.snapshots("nums")
+    assert [s["version"] for s in snaps] == [0, 1]
+    # the archived v000 snapshot's data survived and still time-travels
+    assert io.read_snapshot("nums", 0).count() == 10
+    assert io.read_snapshot("nums", 1).count() == 25
+
+
 def test_unknown_stage_raises(spark, tmp_path):
     io = TableIO(spark, str(tmp_path / "wd"))
     with pytest.raises(KeyError, match="no complete snapshots"):
