@@ -265,6 +265,50 @@ def _sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query IVF ANN (operators/similarity.py:
+    ivf_search_batch): 5 query vectors answered in ONE job — probe
+    selection, candidate join and per-query top-k all stay DataFrames (no
+    driver collect, unlike the single-query path's probe list). Run at
+    full probe (n_probe == n_centroids -> exact brute force per query),
+    the SQL-expressible case; partial-probe recall is pytest-gated at the
+    16x corpus (tests/test_similarity_ivf.py)."""
+    from geojson_vt_cpp_spark.operators.similarity import ivf_index, ivf_search_batch
+
+    _register_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assignments, centroids = ivf_index(embs, n_centroids=16, iters=2)
+    got = ivf_search_batch(assignments, centroids, queries, k=10, n_probe=16)
+    return got.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("dist2", 6).alias("dist2"),
+        "ann_rank",
+    )
+
+
+IVF_BATCH_ORACLE = """
+    with e as ({elems}),
+    qv as (select vec_id as query_id, i, x as qx from e where vec_id < 5),
+    d as (
+      select qv.query_id, e.vec_id,
+             sum((e.x - qv.qx) * (e.x - qv.qx)) as dist2
+      from e join qv on e.i = qv.i
+      group by qv.query_id, e.vec_id),
+    ranked as (
+      select query_id, vec_id, dist2,
+             row_number() over (partition by query_id
+                                order by dist2 asc, vec_id asc) as ann_rank
+      from d)
+    select cast(query_id as bigint) as query_id, cast(vec_id as bigint) as vec_id,
+           round(dist2, 6) as dist2, ann_rank
+    from ranked where ann_rank <= 10
+"""
+
+
 IVF_ORACLE = """
     with e as ({elems}),
     qv as (select i, x as qx from e where vec_id = 0),
@@ -698,6 +742,7 @@ def _register_python_queries() -> dict[str, Callable[[SparkSession, str], DataFr
                 "geo_distance_join": _geo_distance_join,
                 "geo_bbox_overlap": _geo_bbox_overlap,
                 "sim_ivf_search": _sim_ivf_search,
+                "sim_ivf_search_batch": _sim_ivf_search_batch,
                 "dedup_clusters": _dedup_clusters,
                 "dedup_minhash_jaccard": _dedup_minhash_jaccard,
                 "dedup_simhash_pairs": _dedup_simhash_pairs,
@@ -776,6 +821,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sim_ivf_search"] = " ".join(
         IVF_ORACLE.format(elems=D._vec_elems("duckdb")).split()
+    )
+    o["sim_ivf_search_batch"] = " ".join(
+        IVF_BATCH_ORACLE.format(elems=D._vec_elems("duckdb")).split()
     )
     o["dedup_clusters"] = " ".join(
         DEDUP_CLUSTERS_ORACLE.format(

@@ -285,6 +285,54 @@ def run_micro(spark, cpus: int) -> dict:
     t0 = time.time()  # SingleTileGeoJSONToTile shape
     geojson_to_tile_df(sdocs, 12, 1171, 1566).count()
     out["single_tile_to_tile_sec"] = round(time.time() - t0, 3)
+
+    # LargeGeoJSONTileIndex / LargeGeoJSONGetTile shapes (benchmark.cpp:
+    # 60-79): the reference's points.geojson is absent upstream, so the
+    # corpus is the deterministic synthetic substitute (BASELINE.md) —
+    # 200k single-point docs, 80% clustered around the z12/1171/1566 probe
+    # tile. Index with DEFAULT options, then cold-drill the probe tile.
+    from geojson_vt_cpp_spark.sources.documents import synth_points_documents
+
+    n_pts = int(_os.environ.get("SPARK_GRAFT_LARGE_POINTS", "200000"))
+    pdocs = synth_points_documents(spark, n_pts).repartition(max(cpus, 8)).cache()
+    pdocs.count()  # corpus materialized untimed (the reference pre-parses too)
+    t0 = time.time()
+    lpyr = TilePyramid.from_documents(pdocs, Options())
+    lpyr.tile_features().count()
+    out["large_tile_index_sec"] = round(time.time() - t0, 3)
+    out["large_tile_index_tiles"] = lpyr.total
+    out["large_tile_index_points"] = n_pts
+
+    t0 = time.time()  # cold getTile: drill z5 leaf -> z12
+    tile = lpyr.get_tile(12, 1171, 1566)
+    out["large_gettile_cold_sec"] = round(time.time() - t0, 3)
+    out["large_gettile_features"] = len(tile.features)
+
+    # warm serving probes (reference: µs hash probe, geojsonvt.hpp:117-128;
+    # here: driver-local pyarrow row-group probe, no Spark job). Shape =
+    # the reference's LargeGeoJSONGetTile repetitions: the SAME tile
+    # re-requested after the cold drill (its Repetitions(9) legs are all
+    # warm hash hits after the first).
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        lpyr.enable_serving(td + "/serve")
+        out["serving_export_sec"] = round(time.time() - t0, 3)
+        reps = 9
+        lpyr._tile_cache.clear()
+        lpyr.get_tile(12, 1171, 1566)  # untimed: OS page-cache warmup
+        t0 = time.time()
+        for _ in range(reps):
+            lpyr._tile_cache.clear()  # force the snapshot probe each leg
+            lpyr.get_tile(12, 1171, 1566)
+        out["warm_gettile_ms"] = round((time.time() - t0) * 1000 / reps, 2)
+        t0 = time.time()  # driver dict-cache hit (no probe at all)
+        for _ in range(reps):
+            lpyr.get_tile(12, 1171, 1566)
+        out["warm_gettile_cached_us"] = round((time.time() - t0) * 1e6 / reps, 1)
+    lpyr.close()
+    pdocs.unpersist()
     return out
 
 

@@ -275,6 +275,33 @@ def quantize(assigned_df: DataFrame, options: Options) -> DataFrame:
     return assigned_df.mapInPandas(kernel, codec.TILE_FEATURES_SCHEMA)
 
 
+def _rows_to_features(rows) -> tuple[list, int]:
+    """Quantized tile-feature rows (Spark Row or dict, in SORT_KEYS order)
+    -> (feature list, n_simplified). Shared by the Spark collect path and
+    the driver-local serving-snapshot probe."""
+    feats = []
+    nsimp = 0
+    for r in rows:
+        nsimp += int(r["n_simplified"])
+        if r["out_type"] < 0:
+            continue
+        feats.append(
+            {
+                "type": int(r["out_type"]),
+                "is_multi": bool(r["is_multi"]),
+                "parts": [
+                    [[int(px), int(py)] for px, py in zip(xs, ys)]
+                    for xs, ys in zip(r["part_xs"], r["part_ys"])
+                ],
+                "poly_lens": [int(v) for v in r["poly_lens"]],
+                "tags": json.loads(r["props_json"]),
+                "id": r["feature_id"],
+                "id_kind": r["id_kind"],
+            }
+        )
+    return feats, nsimp
+
+
 def _stat_only_row(row: dict, nsimp: int) -> dict:
     return {
         "z": int(row["z"]), "tx": int(row["tx"]), "ty": int(row["ty"]),
@@ -329,6 +356,7 @@ class TilePyramid:
         self._extra_assigned: list[DataFrame] = []
         self._tile_features: DataFrame | None = None
         self._tile_cache: dict[tuple[int, int, int], Tile] = {}
+        self._serving: tuple[list[int], list[tuple[int, str]]] | None = None
         self.drill_log: list[dict] = []  # per-round batched-drill diagnostics
         self._drilled = False  # append() is defined on the eager index only
         self._append_seq = 0
@@ -974,38 +1002,147 @@ class TilePyramid:
         tf = self.tile_features()
         return self._filter_tiles_z(tf, found)
 
+    # -------------------------------------------------------------- serving
+
+    def enable_serving(self, path: str) -> None:
+        """Export the quantized tile features as a tile-key-sorted parquet
+        snapshot and answer subsequent warm ``get_tile`` hits from it
+        WITHOUT submitting a Spark job.
+
+        The reference serves a warm ``getTile`` in microseconds from a
+        driver-side hash map (geojsonvt.hpp:117-128). A Spark engine cannot
+        hold tile payloads on the driver, but it can export them ONCE — a
+        single range-partitioned write sorted by the packed tile key — and
+        then answer warm hits with a driver-local pyarrow probe: a bisect
+        over the per-file key ranges (read from the parquet footers at
+        export time) locates the one file, and parquet row-group min/max
+        statistics prune the read to the row group holding the key. No job
+        submission, no executor round trip. At cluster scale this is the
+        standard tile-server pattern: the snapshot lives on shared storage
+        and ANY serving process (not just this driver) can probe it the
+        same way.
+
+        The snapshot reflects the pyramid AS OF this call: ``append`` and
+        drill-down misses invalidate it (tiles created afterwards would
+        otherwise probe as empty) — re-call after mutating. ``get_tiles``
+        batch reads and cold drills are unaffected.
+        """
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        pk = (
+            F.shiftleft(F.col("z").cast("long"), 58)
+            + F.shiftleft(F.col("tx"), 29)
+            + F.col("ty")
+        ).alias("pk")
+        nfiles = max(1, min(self._n_parts, self.meta.total_rows() // 4096 + 1))
+        (
+            self.tile_features()
+            .select(pk, "*")
+            .repartitionByRange(nfiles, "pk")
+            .sortWithinPartitions("pk", *codec.SORT_KEYS)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        mins: list[int] = []
+        entries: list[tuple[int, str]] = []
+        for fn in sorted(_os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = _os.path.join(path, fn)
+            md = _pq.read_metadata(fp)
+            if md.num_rows == 0:
+                continue
+            rg0 = md.row_group(0)
+            pk_i = next(
+                i
+                for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == "pk"
+            )
+            stats = [
+                md.row_group(g).column(pk_i).statistics
+                for g in range(md.num_row_groups)
+            ]
+            if any(s is None for s in stats):
+                # no stats (writer config): probe-eligible for every key —
+                # correct, just unpruned for this file
+                fmin, fmax = -(1 << 62), 1 << 62
+            else:
+                fmin = min(s.min for s in stats)
+                fmax = max(s.max for s in stats)
+            mins.append(fmin)
+            entries.append((fmax, fp))
+        order = sorted(range(len(mins)), key=lambda i: mins[i])
+        self._serving = ([mins[i] for i in order], [entries[i] for i in order])
+
+    def _serving_probe(self, key: tuple[int, int, int]) -> Tile | None:
+        """Driver-local snapshot probe (no Spark job); None when no valid
+        snapshot exists. Zero matching rows on a VALID snapshot is a
+        legitimately feature-less tile (empty tile / all features dropped
+        at emit) — the snapshot covers every registered tile because any
+        mutation since export would have invalidated it."""
+        if self._serving is None:
+            return None
+        from bisect import bisect_right
+
+        import pyarrow.parquet as _pq
+
+        z, x, y = key
+        p = (z << 58) + (x << 29) + y
+        mins, entries = self._serving
+        i = bisect_right(mins, p) - 1
+        feats: list = []
+        nsimp = 0
+        if i >= 0 and entries[i][0] >= p:
+            # rows come back in the snapshot's (pk, SORT_KEYS) write order;
+            # arrow -> Python lists directly (to_pylist): pandas object
+            # columns for the nested int16 arrays cost ~5x more per row
+            tbl = _pq.read_table(
+                entries[i][1],
+                columns=[
+                    "pk", "n_simplified", "out_type", "is_multi", "part_xs",
+                    "part_ys", "poly_lens", "props_json", "feature_id",
+                    "id_kind",
+                ],
+                filters=[("pk", "==", p)],
+            )
+            cols = [tbl.column(c).to_pylist() for c in tbl.column_names[1:]]
+            for (n_s, o_t, i_m, pxs, pys, plens, props, fid, idk) in zip(*cols):
+                nsimp += n_s
+                if o_t < 0:
+                    continue
+                feats.append(
+                    {
+                        "type": o_t,
+                        "is_multi": i_m,
+                        "parts": [
+                            [[px, py] for px, py in zip(xs, ys)]
+                            for xs, ys in zip(pxs, pys)
+                        ],
+                        "poly_lens": plens,
+                        "tags": json.loads(props),
+                        "id": fid,
+                        "id_kind": idk,
+                    }
+                )
+        return Tile(z, x, y, feats, self.meta[key].num_points, nsimp)
+
     def _collect_tile(self, key: tuple[int, int, int]) -> Tile:
         if key in self._tile_cache:
             return self._tile_cache[key]
-        z, x, y = key
-        m = self.meta[key]
-        rows = (
-            self.tile_features()
-            .where((F.col("z") == z) & (F.col("tx") == x) & (F.col("ty") == y))
-            .orderBy(*codec.SORT_KEYS)
-            .collect()
-        )
-        feats = []
-        nsimp = 0
-        for r in rows:
-            nsimp += r["n_simplified"]
-            if r["out_type"] < 0:
-                continue
-            feats.append(
-                {
-                    "type": r["out_type"],
-                    "is_multi": r["is_multi"],
-                    "parts": [
-                        [[int(px), int(py)] for px, py in zip(xs, ys)]
-                        for xs, ys in zip(r["part_xs"], r["part_ys"])
-                    ],
-                    "poly_lens": list(r["poly_lens"]),
-                    "tags": json.loads(r["props_json"]),
-                    "id": r["feature_id"],
-                    "id_kind": r["id_kind"],
-                }
+        t = self._serving_probe(key)  # warm snapshot hit: no Spark job
+        if t is None:
+            z, x, y = key
+            m = self.meta[key]
+            rows = (
+                self.tile_features()
+                .where((F.col("z") == z) & (F.col("tx") == x) & (F.col("ty") == y))
+                .orderBy(*codec.SORT_KEYS)
+                .collect()
             )
-        t = Tile(z, x, y, feats, m.num_points, nsimp)
+            feats, nsimp = _rows_to_features(rows)
+            t = Tile(z, x, y, feats, m.num_points, nsimp)
         self._tile_cache[key] = t
         return t
 
@@ -1040,6 +1177,8 @@ class TilePyramid:
         if self._tile_features is not None:
             self._tile_features.unpersist()
         self._tile_features = None
+        # tiles created after export would probe as empty — drop the snapshot
+        self._serving = None
 
     def close(self) -> None:
         if self._tile_features is not None:

@@ -135,3 +135,69 @@ def ivf_search(
         topk.withColumn("ann_rank", F.row_number().over(w))
         .select("vec_id", "dist2", "ann_rank")
     )
+
+
+def ivf_search_batch(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched multi-query IVF search: top-k nearest vectors PER QUERY ROW,
+    one job for the whole query table — how a dedup/retrieval pipeline
+    actually calls ANN (a table of queries, not one vector at a time).
+
+    Plan shape: (1) queries x broadcast centroids -> the ``n_probe``
+    nearest clusters per query (window over n_centroids rows per query);
+    (2) the (query_id, cluster_id) probe table equi-joins the assignments
+    on cluster_id — each query touches only its probed clusters' vectors,
+    never the corpus; (3) per-query top-k as one window rank partitioned
+    by query_id (each partition holds one query's probed candidates,
+    ~n_probe/n_centroids of the corpus — the same fraction the
+    single-query path scans). No driver collect anywhere: unlike
+    :func:`ivf_search`, the probe set stays a DataFrame.
+
+    With queries << corpus the probe side broadcasts (count-free: Spark's
+    own size estimate via AQE decides; the explicit hint is skipped so a
+    LARGE query table still plans a shuffled hash join on cluster_id).
+
+    Returns (query_id, vec_id, dist2, ann_rank), ann_rank 1..k per query.
+    ``n_probe == n_centroids`` degrades to exact brute force per query —
+    the SQL-oracle-checkable configuration.
+    """
+    from pyspark.sql.window import Window
+
+    # materialize the centroid table once: its lineage is the whole k-means
+    # (crossJoin + window per iteration) and Spark re-inlines unmaterialized
+    # subtrees per reference (repo-wide convention, see operators/dedup.py)
+    # — n_centroids rows, so the checkpoint is KB-sized
+    centroids = centroids.localCheckpoint()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(query_vec_col, lambda v: v.cast("double")).alias("query_vec"),
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cd2", _dist2(F.col("query_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cluster_id").asc()
+    )
+    probe = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "query_vec", "cluster_id")
+    )
+    cand = probe.join(assignments, "cluster_id").withColumn(
+        "dist2", _dist2(F.col("query_vec"), F.col("embedding"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("ann_rank", F.row_number().over(wk))
+        .where(F.col("ann_rank") <= k)
+        .select("query_id", "vec_id", "dist2", "ann_rank")
+    )

@@ -209,3 +209,70 @@ def replicate_documents(
             yield pd.DataFrame(out_rows, columns=["doc_id", "spans"])
 
     return rep.mapInPandas(kernel, DOCUMENTS_SCHEMA)
+
+
+def synth_points_documents(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic synthetic point corpus — the stand-in for the
+    reference's ABSENT ``test/fixtures/points.geojson`` (the two Large*
+    bench shapes, ``bench/benchmark.cpp:60-79``, index it with default
+    options and probe ``getTile(12, 1171, 1566)``).
+
+    Fully Spark-side synthesis (no driver JSON): one single-point document
+    per id, spans interleaved text+geojson+media. 80% of the points land
+    uniformly in a 1.4°x1.0° box around (-77.05, 38.9) — which contains the
+    z12/1171/1566 probe tile, so the drill target is non-empty — and 20%
+    spread world-wide. Coordinates derive from md5(tag||id) (the repo's
+    portable-hash convention), so any n reproduces bit-identically across
+    engines and runs.
+    """
+    ids = spark.range(n).select(F.col("id"))
+
+    def u(tag: str):
+        # 15 hex digits of md5 -> 60-bit uniform in [0, 1)
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        )
+
+    cluster = (F.col("id") % 5) != 0  # 80% clustered
+    lon = F.when(cluster, F.lit(-77.75) + u("clon-") * 1.4).otherwise(
+        F.lit(-180.0) + u("lon-") * 360.0
+    )
+    lat = F.when(cluster, F.lit(38.4) + u("clat-") * 1.0).otherwise(
+        F.lit(-85.0) + u("lat-") * 170.0
+    )
+    intro = F.format_string("synthetic point %d. ", F.col("id"))
+    gj = F.format_string(
+        '{"type":"Feature","id":%d,"geometry":{"type":"Point",'
+        '"coordinates":[%.6f,%.6f]},"properties":{}}',
+        F.col("id"),
+        lon,
+        lat,
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    null_s = F.lit(None).cast("string")
+    return ids.select(
+        F.format_string("points-%07d", F.col("id")).alias("doc_id"),
+        F.array(
+            span("text", intro, null_s, F.lit(0)),
+            span("geojson", gj, null_s, F.length(intro)),
+            span(
+                "media",
+                null_s,
+                F.format_string("raster://7/%d", F.col("id") % 16384),
+                F.length(intro) + F.length(gj),
+            ),
+        ).alias("spans"),
+    )

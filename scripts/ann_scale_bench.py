@@ -31,7 +31,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from geojson_vt_cpp_spark.operators.similarity import ivf_index, ivf_search
+    from geojson_vt_cpp_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        ivf_search_batch,
+    )
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -86,6 +90,44 @@ def main() -> None:
     ]
     t_exact = round(time.time() - t0, 1)
 
+    # batched multi-query search: 16 queries in ONE job, per-query recall
+    # vs a batched exact scan (window top-10 per query)
+    from pyspark.sql.window import Window
+
+    qdf = base.where("vec_id < 16").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    got_batch = ivf_search_batch(
+        assignments, centroids, qdf, k=10, n_probe=4
+    ).collect()
+    t_batch = round(time.time() - t0, 1)
+    approx_by_q: dict = {}
+    for r in got_batch:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    t0 = time.time()
+    bd2 = (
+        "aggregate(zip_with(embedding, query_vec, (a, b) -> "
+        "(cast(a as double) - cast(b as double)) * (cast(a as double) - cast(b as double))), "
+        "cast(0.0 as double), (s, x) -> s + x)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact_rows = (
+        embs.crossJoin(F.broadcast(qdf))
+        .select("query_id", "vec_id", F.expr(bd2).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where("rn <= 10")
+        .collect()
+    )
+    t_exact_batch = round(time.time() - t0, 1)
+    exact_by_q: dict = {}
+    for r in exact_rows:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    batch_recalls = [
+        len(approx_by_q.get(q, set()) & exact_by_q[q]) / 10.0 for q in exact_by_q
+    ]
+
     out = {
         "mult": mult,
         "cpus": cpus,
@@ -97,6 +139,11 @@ def main() -> None:
         "recall_at_10": round(len(set(approx) & set(exact)) / 10.0, 2),
         "approx_ids": sorted(approx),
         "exact_ids": sorted(exact),
+        "batch_queries": len(exact_by_q),
+        "batch_search_sec": t_batch,
+        "batch_exact_sec": t_exact_batch,
+        "batch_mean_recall_at_10": round(sum(batch_recalls) / len(batch_recalls), 3),
+        "batch_min_recall_at_10": round(min(batch_recalls), 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -92,3 +92,52 @@ def test_ivf_index_partition_pruning(spark, embs, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cluster_id" in pf, pf
+
+
+def test_ivf_batch_matches_single(spark, embs):
+    """Batched multi-query search == the single-query operator per query,
+    at the SAME partial probe (both approximate the same way: identical
+    probe selection and tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_cpp_spark.operators.similarity import ivf_search_batch
+
+    assignments, centroids = ivf_index(embs, n_centroids=8, iters=2)
+    assignments = assignments.cache()
+    qids = [0, 7, 42]
+    queries = embs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ivf_search_batch(
+        assignments, centroids, queries, k=10, n_probe=3
+    ).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["ann_rank"], r["vec_id"]))
+    rows = {r["vec_id"]: r for r in embs.collect()}
+    for qid in qids:
+        q = [float(v) for v in rows[qid]["embedding"]]
+        single = [
+            (r["ann_rank"], r["vec_id"])
+            for r in ivf_search(assignments, centroids, q, k=10, n_probe=3).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_ivf_batch_no_driver_collect_in_probe(spark, embs):
+    """The batch probe stays a DataFrame: building the plan must not run a
+    job (the single-query path collects centroid ids; the batch path may
+    not — that is its reason to exist at scale)."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_cpp_spark.operators.similarity import ivf_search_batch
+
+    assignments, centroids = ivf_index(embs, n_centroids=4, iters=1)
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    plan = ivf_search_batch(assignments, centroids, queries, k=5, n_probe=2)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction submitted a job"
+    assert plan.count() > 0
