@@ -626,8 +626,14 @@ def _stream_pip_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over BOTH decode paths: the deterministic
+    fake (hash payloads, the bulk of the corpus) plus a REAL-encoded
+    PNG/baseline-JPEG leg decoded by the from-scratch codecs
+    (functions/png.py, functions/jpeg.py) inside the Spark kernel — the
+    oracle carries literals for both (golden_oracle._mm_expected_rows)."""
     from geojson_vt_cpp_spark.functions.golden_oracle import MM_DOC_LIMIT
     from geojson_vt_cpp_spark.operators.multimodal import (
+        encoded_media_table,
         extract_image_features,
         synthesize_media_table,
     )
@@ -636,7 +642,9 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media_table(
         spark.table("documents").where(F.col("doc_id") < MM_DOC_LIMIT)
     )
-    return extract_image_features(media, fake_decode=True)
+    fake_leg = extract_image_features(media, fake_decode=True)
+    real_leg = extract_image_features(encoded_media_table(spark), fake_decode=False)
+    return fake_leg.unionByName(real_leg)
 
 
 def _geo_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geojson_vt_cpp_spark.functions.jpeg import JPEG_SOI, decode_jpeg
 from geojson_vt_cpp_spark.functions.png import PNG_SIGNATURE, decode_png
 
 MEDIA_SCHEMA = (
@@ -56,17 +57,23 @@ def synthesize_media_table(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """Codec slot: real pure-numpy decode for PNG payloads; deterministic
-    fake (payload-hash-seeded) when ``fake=True``; NotImplementedError for
-    non-PNG formats whose codecs are absent from this container.
+    """Codec slot: real pure-numpy decode for PNG and baseline JPEG
+    payloads (magic-byte dispatch); deterministic fake (payload-hash-
+    seeded) when ``fake=True``; NotImplementedError for formats whose
+    codecs are absent from this container (GIF/WebP/AVIF etc., and
+    progressive JPEG inside the JPEG codec itself).
 
     The real path always returns (h, w, 3): gray/gray+alpha/RGBA decode
     results are normalized to RGB (alpha dropped, gray broadcast) so every
     downstream feature kernel sees one channel layout.
     """
     if not fake:
+        img = None
         if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
             img = decode_png(payload)
+        elif payload[: len(JPEG_SOI)] == JPEG_SOI:
+            img = decode_jpeg(payload)
+        if img is not None:
             if img.shape[2] == 4:  # RGBA -> RGB
                 img = img[:, :, :3]
             elif img.shape[2] == 2:  # gray+alpha -> gray
@@ -75,13 +82,56 @@ def decode_image_stub(payload: bytes, width: int, height: int, fake: bool = Fals
                 img = np.repeat(img, 3, axis=2)
             return img
         raise NotImplementedError(
-            "non-PNG image decode requires a codec library not present in "
-            "this environment; pass fake=True for the deterministic test "
+            "non-PNG/JPEG image decode requires a codec library not present "
+            "in this environment; pass fake=True for the deterministic test "
             "double"
         )
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+ENCODED_MEDIA_BASE_ID = 1000  # real-encoded corpus ids sit above the fakes
+
+
+def encoded_media_rows(n: int = 12) -> list[tuple]:
+    """Deterministic REAL-encoded payload corpus: row i carries a small
+    hash-seeded RGB image encoded through the from-scratch codecs —
+    round-robin PNG / JPEG 4:4:4 / JPEG 4:2:0 / grayscale JPEG — so the
+    driver-oracled ``mm_image_features`` exercises the real decode paths
+    (incl. lossy JPEG) end to end. Shared verbatim by the Spark query
+    (:func:`__spark_entry__._mm_image_features`) and its literal oracle
+    (functions/golden_oracle.py): both sides run the same deterministic
+    encode, so the decoded features agree bit-for-bit.
+
+    Returns (doc_id, media_ref, payload, media_kind, width, height).
+    """
+    from geojson_vt_cpp_spark.functions.jpeg import encode_jpeg
+    from geojson_vt_cpp_spark.functions.png import encode_png
+
+    rows = []
+    for i in range(n):
+        doc_id = ENCODED_MEDIA_BASE_ID + i
+        w = 24 + (i % 5) * 8
+        h = 16 + (i % 3) * 8
+        seed_payload = hashlib.md5(f"enc-{i}".encode()).digest()
+        img = decode_image_stub(seed_payload, w, h, fake=True)
+        fmt = ("png", "jpeg444", "jpeg420", "jpeg_gray")[i % 4]
+        if fmt == "png":
+            payload, kind = encode_png(img), "image/png"
+        elif fmt == "jpeg444":
+            payload, kind = encode_jpeg(img, quality=85, subsampling="444"), "image/jpeg"
+        elif fmt == "jpeg420":
+            payload, kind = encode_jpeg(img, quality=85, subsampling="420"), "image/jpeg"
+        else:  # grayscale JPEG (1-component scan)
+            payload, kind = encode_jpeg(img[:, :, 0], quality=85), "image/jpeg"
+        rows.append((doc_id, f"media://enc/{i}", payload, kind, w, h))
+    return rows
+
+
+def encoded_media_table(spark, n: int = 12) -> DataFrame:
+    """The :func:`encoded_media_rows` corpus as a DataFrame (MEDIA_SCHEMA)."""
+    return spark.createDataFrame(encoded_media_rows(n), MEDIA_SCHEMA)
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
