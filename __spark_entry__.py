@@ -363,6 +363,17 @@ def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(spark.table("documents"))
 
 
+def _dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH pairs through the ENGINE operator
+    (operators/dedup.py:minhash_near_dup_pairs_capped — windowed bucket
+    size + hub, all-pairs for small buckets, star pairs for hot ones).
+    Oracle: the dual-dialect dedup_minhash_pairs_capped template."""
+    from geojson_vt_cpp_spark.operators.dedup import minhash_near_dup_pairs_capped
+
+    _register_views(spark, sf_dir)
+    return minhash_near_dup_pairs_capped(spark.table("documents"))
+
+
 def _dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through the ENGINE operator (pair operator + split
     joins) against the dual-dialect template oracle."""
@@ -704,14 +715,18 @@ def _mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: stub video decode -> every-3rd-frame features, one
-    row per sampled frame (operators/multimodal.py:sample_video_frames)."""
+    """Frame sampling over BOTH decode paths: the deterministic fake
+    (hash payloads, the bulk of the corpus) plus a REAL Motion-JPEG-AVI
+    leg parsed and decoded by the from-scratch RIFF/JPEG codecs
+    (functions/avi.py, functions/jpeg.py) inside the Spark kernel — the
+    oracle carries literals for both (golden_oracle._mm_video_expected_rows)."""
     from geojson_vt_cpp_spark.functions.golden_oracle import (
         VID_DOC_LIMIT,
         VID_EVERY_K,
         VID_MAX_FRAMES,
     )
     from geojson_vt_cpp_spark.operators.multimodal import (
+        encoded_video_table,
         sample_video_frames,
         synthesize_video_table,
     )
@@ -721,7 +736,11 @@ def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents").where(F.col("doc_id") < VID_DOC_LIMIT),
         max_frames=VID_MAX_FRAMES,
     )
-    return sample_video_frames(media, every_k=VID_EVERY_K, fake_decode=True)
+    fake_leg = sample_video_frames(media, every_k=VID_EVERY_K, fake_decode=True)
+    real_leg = sample_video_frames(
+        encoded_video_table(spark), every_k=VID_EVERY_K, fake_decode=False
+    )
+    return fake_leg.unionByName(real_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -755,6 +774,7 @@ def _register_python_queries() -> dict[str, Callable[[SparkSession, str], DataFr
                 "dedup_minhash_jaccard": _dedup_minhash_jaccard,
                 "dedup_simhash_pairs": _dedup_simhash_pairs,
                 "dedup_minhash_pairs": _dedup_minhash_pairs,
+                "dedup_minhash_pairs_capped": _dedup_minhash_pairs_capped,
                 "dedup_cross_split_leakage": _dedup_cross_split_leakage,
                 "stream_events_hourly": _stream_events_hourly,
                 "stream_pip_triangles": _stream_pip_triangles,

@@ -532,6 +532,39 @@ def queries_sql(dialect: str) -> dict[str, str]:
         select doc_a, doc_b from pairs
     """
 
+    # Hot-bucket-capped LSH pairs: a near-duplicate flood puts ~all docs in
+    # one band bucket and the plain band self-join explodes to O(n^2) pairs
+    # out of a single join key (un-splittable by AQE — the OUTPUT is the
+    # problem, not the partition). Buckets of size <= cap keep exact
+    # all-pairs semantics; larger buckets emit star pairs through their
+    # min-doc_id hub — O(n) edges that preserve the connectivity the pairs
+    # feed into (dedup_clusters connected components). cap matches
+    # operators/dedup.py:LSH_BUCKET_CAP.
+    cap = 8
+    capped_bands = "\n union \n".join(
+        f"""select a.doc_id as doc_a, b.doc_id as doc_b
+          from t{i} a join t{i} b
+            on a.k1 = b.k1 and a.k2 = b.k2 and a.doc_id < b.doc_id
+          where a.bn <= {cap}
+          union
+          select hub as doc_a, doc_id as doc_b
+          from t{i} where bn > {cap} and doc_id <> hub"""
+        for i in (1, 2)
+    )
+    q["dedup_minhash_pairs_capped"] = sig_cte + f"""
+        , t1 as (
+          select doc_id, mh0 as k1, mh1 as k2,
+                 count(*) over (partition by mh0, mh1) as bn,
+                 min(doc_id) over (partition by mh0, mh1) as hub
+          from sig),
+        t2 as (
+          select doc_id, mh2 as k1, mh3 as k2,
+                 count(*) over (partition by mh2, mh3) as bn,
+                 min(doc_id) over (partition by mh2, mh3) as hub
+          from sig)
+        select distinct doc_a, doc_b from ({capped_bands}) p
+    """
+
     q["dedup_simhash"] = f"""
         with words as (select doc_id, w {_words_from(d)}),
         wh as (select doc_id, {hh('w')} as h from words),

@@ -83,6 +83,66 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str 
     return p1.select("doc_a", "doc_b").union(p2.select("doc_a", "doc_b")).distinct()
 
 
+LSH_BUCKET_CAP = 8  # matches the dedup_minhash_pairs_capped SQL template
+
+
+def minhash_near_dup_pairs_capped(
+    docs: DataFrame,
+    cap: int = LSH_BUCKET_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hot-bucket-capped LSH band join — the 10^12-doc form of
+    :func:`minhash_near_dup_pairs`.
+
+    A near-duplicate flood (scraped boilerplate, mirrored pages) puts ~all
+    N docs into ONE band bucket, and the plain band self-join emits
+    N(N-1)/2 pairs out of a single join key. AQE's skew-join split cannot
+    help: the OUTPUT is quadratic, not just the partition. Production
+    minhash dedup caps the bucket:
+
+    - buckets with ``bn <= cap`` keep exact all-pairs semantics;
+    - larger buckets emit STAR pairs through their min-doc_id hub —
+      O(n) edges per bucket that preserve exactly the connectivity the
+      pair stream feeds into (``dedup_clusters`` connected components:
+      every member reaches every other through the hub).
+
+    Per-band bucket size + hub come from one window over the band key
+    (hot bucket = one O(n) task, never O(n^2)); per-task pair output is
+    bounded by cap(cap-1)/2 per bucket. Oracle: the
+    ``dedup_minhash_pairs_capped`` dual-dialect template (same cap).
+    """
+    sig = minhash_signatures(docs, text_col, id_col).localCheckpoint()
+    from pyspark.sql import Window
+
+    out = None
+    for keys in (("mh0", "mh1"), ("mh2", "mh3")):
+        w = Window.partitionBy(*keys)
+        t = (
+            sig.select("doc_id", *keys)
+            .withColumn("bn", F.count(F.lit(1)).over(w))
+            .withColumn("hub", F.min("doc_id").over(w))
+        )
+        small = t.where(F.col("bn") <= cap)
+        a = small.select(F.col("doc_id").alias("doc_a"), *keys)
+        b = small.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(k).alias(f"r_{k}") for k in keys],
+        )
+        cond = (
+            (F.col(keys[0]) == F.col(f"r_{keys[0]}"))
+            & (F.col(keys[1]) == F.col(f"r_{keys[1]}"))
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        allp = a.join(b, cond).select("doc_a", "doc_b")
+        star = t.where(
+            (F.col("bn") > cap) & (F.col("doc_id") != F.col("hub"))
+        ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        leg = allp.union(star)
+        out = leg if out is None else out.union(leg)
+    return out.distinct()
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit simhash per document (word-hash bit majority)."""
     return _run(docs, "simhash", "dedup_simhash", text_col, id_col)

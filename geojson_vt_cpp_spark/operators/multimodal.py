@@ -187,12 +187,21 @@ def resize_images(
 def decode_video_stub(
     payload: bytes, n_frames: int, width: int, height: int, fake: bool = False
 ) -> np.ndarray:
-    """Video codec slot: (n_frames, h, w, 3) uint8. Real decoders absent;
-    the fake chains the image stub per frame (seed = md5(payload || idx))."""
+    """Video codec slot: (n_frames, h, w, 3) uint8. Real path: Motion-JPEG
+    AVI through the from-scratch RIFF parser + JPEG decoder
+    (functions/avi.py); the metadata hints are ignored — the container
+    carries the truth. Deterministic fake chains the image stub per frame
+    (seed = md5(payload || idx)). Compressed codecs (H.264 etc.) raise
+    NotImplementedError inside the AVI parser; non-RIFF payloads here."""
     if not fake:
+        from geojson_vt_cpp_spark.functions.avi import RIFF_MAGIC, decode_avi_mjpeg
+
+        if payload[:4] == RIFF_MAGIC and payload[8:12] == b"AVI ":
+            return decode_avi_mjpeg(payload)
         raise NotImplementedError(
-            "video decode requires a codec library not present in this "
-            "environment; pass fake=True for the deterministic test double"
+            "non-AVI video decode requires a codec library not present in "
+            "this environment; pass fake=True for the deterministic test "
+            "double"
         )
     frames = [
         decode_image_stub(
@@ -202,6 +211,45 @@ def decode_video_stub(
         for idx in range(n_frames)
     ]
     return np.stack(frames)
+
+
+ENCODED_VIDEO_BASE_ID = 2000  # real-encoded video ids sit above the fakes
+VIDEO_SCHEMA = (
+    "doc_id long, media_ref string, payload binary, media_kind string, "
+    "width int, height int, n_frames int"
+)
+
+
+def encoded_video_rows(n: int = 6) -> list[tuple]:
+    """Deterministic REAL-encoded video corpus: row i is a small Motion-
+    JPEG AVI (functions/avi.py) of hash-seeded frames, so the driver-
+    oracled ``mm_video_frames`` exercises the real RIFF-parse + JPEG-
+    decode path end to end. Shared verbatim by the Spark query and its
+    literal oracle (golden_oracle._mm_video_expected_rows): both sides
+    run the same deterministic encode, so sampled-frame features agree
+    bit-for-bit. Returns VIDEO_SCHEMA-shaped tuples."""
+    from geojson_vt_cpp_spark.functions.avi import encode_avi_mjpeg
+
+    rows = []
+    for i in range(n):
+        doc_id = ENCODED_VIDEO_BASE_ID + i
+        w = 24 + (i % 3) * 8
+        h = 16 + (i % 2) * 8
+        nf = 3 + (i % 4)
+        frames = [
+            decode_image_stub(
+                hashlib.md5(f"avi-{i}-{k}".encode()).digest(), w, h, fake=True
+            )
+            for k in range(nf)
+        ]
+        payload = encode_avi_mjpeg(frames, fps=10, quality=85)
+        rows.append((doc_id, f"media://avi/{i}", payload, "video/avi", w, h, nf))
+    return rows
+
+
+def encoded_video_table(spark, n: int = 6) -> DataFrame:
+    """The :func:`encoded_video_rows` corpus as a DataFrame."""
+    return spark.createDataFrame(encoded_video_rows(n), VIDEO_SCHEMA)
 
 
 def synthesize_video_table(docs_df: DataFrame, max_frames: int = 24) -> DataFrame:
@@ -241,10 +289,13 @@ def sample_video_frames(
                 pdf["width"].to_numpy(), pdf["height"].to_numpy(),
                 pdf["n_frames"].to_numpy(),
             ):
-                n = int(n_frames)
                 vid = decode_video_stub(
-                    bytes(payload), n, int(width), int(height), fake=fake_decode
+                    bytes(payload), int(n_frames), int(width), int(height),
+                    fake=fake_decode,
                 )
+                # the decoded stack is the truth: equals the metadata hint
+                # on the fake path, the container's own count on real decode
+                n = int(vid.shape[0])
                 for idx in range(0, n, every_k):
                     rows.append(
                         {

@@ -24,10 +24,13 @@ the same semantics as a thin table layer:
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
 import time
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,10 +69,31 @@ class TableIO:
 
     def _write_manifest(self, name: str, manifest: dict) -> None:
         p = self._manifest_path(name)
-        tmp = p + ".tmp"
+        # unique tmp per writer: a shared ".tmp" name lets two concurrent
+        # committers interleave writes into one file and publish a torn mix
+        tmp = f"{p}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, p)  # atomic: completion appears all-or-nothing
+
+    # ------------------------------------------------------------ commit lock
+
+    @contextmanager
+    def _commit_lock(self, name: str):
+        """Serializes the short metadata-mutation window (archive current
+        manifest / publish successor / expire) across concurrent writers —
+        the optimistic-concurrency analog of an Iceberg catalog's atomic
+        swap. Data writing stays fully concurrent; only the ms-scale
+        pointer swap is exclusive."""
+        d = os.path.join(self.workdir, name)
+        os.makedirs(d, exist_ok=True)
+        lf = open(os.path.join(d, "_commit.lock"), "w")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
 
     # ------------------------------------------------------------ snapshots
 
@@ -92,8 +116,11 @@ class TableIO:
             if fn == "_manifest.json" or (
                 fn.startswith("_manifest.v") and fn.endswith(".json")
             ):
-                with open(os.path.join(d, fn)) as f:
-                    m = json.load(f)
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        m = json.load(f)
+                except FileNotFoundError:
+                    continue  # expired by a concurrent writer between listdir and open
                 if m.get("complete"):
                     out.append(m)
         return sorted(out, key=self._version_of)
@@ -126,18 +153,28 @@ class TableIO:
 
         if keep < 1:
             raise ValueError("keep must be >= 1")
-        snaps = self.snapshots(name)
         expired = 0
-        for m in snaps[:-keep] if len(snaps) > keep else []:
-            v = self._version_of(m)
-            shutil.rmtree(
-                os.path.join(self.workdir, name, self._data_dir_of(m)),
-                ignore_errors=True,
-            )
-            ap = os.path.join(self.workdir, name, f"_manifest.v{v:03d}.json")
-            if os.path.exists(ap):
-                os.remove(ap)
-            expired += 1
+        with self._commit_lock(name):
+            snaps = self.snapshots(name)
+            cur_m = self.read_manifest(name)
+            cur_v = self._version_of(cur_m) if cur_m else None
+            for m in snaps[:-keep] if len(snaps) > keep else []:
+                v = self._version_of(m)
+                if v == cur_v:
+                    continue  # never expire the current pointer's snapshot
+                ap = os.path.join(self.workdir, name, f"_manifest.v{v:03d}.json")
+                # manifest first: a snapshot must stop being advertised
+                # before its data disappears (readers between the two see
+                # a KeyError, never a listed-but-deleted snapshot)
+                try:
+                    os.remove(ap)
+                except FileNotFoundError:
+                    pass
+                shutil.rmtree(
+                    os.path.join(self.workdir, name, self._data_dir_of(m)),
+                    ignore_errors=True,
+                )
+                expired += 1
         return expired
 
     # --------------------------------------------------------------- stages
@@ -181,11 +218,22 @@ class TableIO:
         # manifest and writing its successor leaves no _manifest.json, and
         # restarting at version 0 would overwrite the archived v000
         # snapshot's data while _manifest.v000.json still advertises it.
+        # version allocation is CLAIMED by atomically creating the data dir
+        # (mkdir is the atomic primitive): two concurrent writers can no
+        # longer compute the same max+1 and interleave parquet files into
+        # one directory. A retained snapshot's dir also exists, so the scan
+        # naturally skips it.
+        os.makedirs(os.path.join(self.workdir, name), exist_ok=True)
         snaps = self.snapshots(name)
         version = self._version_of(snaps[-1]) + 1 if snaps else 0
-        data_dir = f"v{version:03d}"
-        path = os.path.join(self.workdir, name, data_dir)
-        os.makedirs(os.path.join(self.workdir, name), exist_ok=True)
+        while True:
+            data_dir = f"v{version:03d}"
+            path = os.path.join(self.workdir, name, data_dir)
+            try:
+                os.makedirs(path, exist_ok=False)
+                break
+            except FileExistsError:
+                version += 1  # claimed by a concurrent writer (or retained)
 
         df = build()
         writer = df.write.mode("overwrite")
@@ -210,32 +258,43 @@ class TableIO:
                 sort_keys=True, default=str,
             ).encode()
         ).hexdigest()[:16]
-        # archive the superseded manifest so its snapshot stays listed
-        if m is not None:
-            old_v = self._version_of(m)
+        # Commit: archive the superseded manifest (under ITS OWN recorded
+        # version — a concurrent writer may have swapped in a newer current
+        # since we read `m`) and publish the successor. flock-serialized:
+        # concurrent writers race only on this ms-scale pointer swap; the
+        # last committer wins _manifest.json, every committed snapshot
+        # stays listed via its archive. Single-writer-per-stage is NOT
+        # required for safety, only for a deterministic "current" pointer.
+        with self._commit_lock(name):
             cur = self._manifest_path(name)
-            if os.path.exists(cur):
+            try:
+                with open(cur) as f:
+                    cur_m = json.load(f)
                 os.replace(
                     cur,
                     os.path.join(
-                        self.workdir, name, f"_manifest.v{old_v:03d}.json"
+                        self.workdir,
+                        name,
+                        f"_manifest.v{self._version_of(cur_m):03d}.json",
                     ),
                 )
-        self._write_manifest(
-            name,
-            {
-                "stage": name,
-                "snapshot_id": snapshot_id,
-                "version": version,
-                "data_dir": data_dir,
-                "inputs": want_inputs,
-                "fingerprint": fingerprint,
-                "partitions": per_file,
-                "total_rows": total,
-                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "complete": True,
-            },
-        )
+            except FileNotFoundError:
+                pass  # no current manifest (first write or mid-kill window)
+            self._write_manifest(
+                name,
+                {
+                    "stage": name,
+                    "snapshot_id": snapshot_id,
+                    "version": version,
+                    "data_dir": data_dir,
+                    "inputs": want_inputs,
+                    "fingerprint": fingerprint,
+                    "partitions": per_file,
+                    "total_rows": total,
+                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "complete": True,
+                },
+            )
         return StageResult(name, out, snapshot_id, False, total)
 
 

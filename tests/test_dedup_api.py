@@ -289,3 +289,58 @@ def test_video_frame_sampling_spark(spark):
     want_rows = sum((n + 2) // 3 for n in meta.values())
     assert len(out) == want_rows
     assert all(r["frame_idx"] % 3 == 0 and r["frame_idx"] < r["n_frames"] for r in out)
+
+
+def test_capped_pairs_flood_bounded_and_cluster_equivalent(spark):
+    """Adversarial near-duplicate flood: 40 identical docs (one LSH bucket)
+    + 20 distinct docs. Uncapped pairs explode O(n^2) in the hot bucket;
+    the capped operator emits O(n) star pairs for it, keeps exact
+    all-pairs for small buckets, and yields the SAME connected components
+    (the consumer of the pair stream)."""
+    from geojson_vt_cpp_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_capped,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en") for i in range(40)]
+    rows += [(100 + i, f"distinct document number {i} " + "x" * i, "en")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    full = minhash_near_dup_pairs(docs)
+    capped = minhash_near_dup_pairs_capped(docs, cap=8)
+    n_full, n_capped = full.count(), capped.count()
+    # hot bucket: 40*39/2 = 780 exact pairs vs 39 star pairs
+    assert n_full >= 780
+    assert n_capped < n_full and n_capped <= 39 + 8 * 7 // 2 * 20
+
+    from pyspark.sql import functions as F
+
+    nodes = docs.select(F.col("doc_id").alias("id"))
+
+    def comps(pairs):
+        cc = connected_components(pairs, nodes, src="doc_a", dst="doc_b")
+        return {
+            tuple(sorted(r["m"]))
+            for r in cc.groupBy("comp")
+            .agg(F.collect_list("id").alias("m"))
+            .collect()
+        }
+
+    assert comps(full) == comps(capped)
+
+
+def test_capped_pairs_equal_uncapped_when_no_hot_bucket(spark, docs):
+    """On a corpus whose buckets all fit the cap, capped == uncapped."""
+    from geojson_vt_cpp_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_capped,
+    )
+
+    small = docs.where("doc_id % 7 = 3")  # thin the dup groups under cap=32
+    full = minhash_near_dup_pairs(small)
+    capped = minhash_near_dup_pairs_capped(small, cap=32)
+    assert full.exceptAll(capped).count() == 0
+    assert capped.exceptAll(full).count() == 0

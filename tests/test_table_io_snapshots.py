@@ -106,3 +106,67 @@ def test_unknown_stage_raises(spark, tmp_path):
     io = TableIO(spark, str(tmp_path / "wd"))
     with pytest.raises(KeyError, match="no complete snapshots"):
         io.read_snapshot("nope")
+
+
+def test_concurrent_writers_and_expiry_no_torn_state(spark, tmp_path):
+    """Fuzz the commit protocol: 4 threads interleave run_stage rewrites
+    (distinct fingerprints force new versions) with expire_snapshots.
+    Invariants after the dust settles: a complete current manifest exists;
+    every LISTED snapshot has a distinct version, a live data dir, and
+    reads back the row count its fingerprint implies; a follow-up
+    run_stage resumes cleanly. Exercises the mkdir version claim, the
+    flock'd pointer swap, and manifest-before-data expiry ordering."""
+    import threading
+
+    io = TableIO(spark, str(tmp_path / "wd"))
+    errs: list[BaseException] = []
+
+    def writer(tid: int) -> None:
+        try:
+            for i in range(4):
+                io.run_stage(
+                    "nums",
+                    lambda n=10 * (tid + 1) + i: io.spark.range(n).selectExpr(
+                        "id", "id * 2 as dbl"
+                    ),
+                    fingerprint=f"fp-{tid}-{i}",
+                )
+        except BaseException as e:  # noqa: BLE001 - fuzz harness collects all
+            errs.append(e)
+
+    def expirer() -> None:
+        try:
+            for _ in range(6):
+                io.expire_snapshots("nums", keep=2)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+    threads.append(threading.Thread(target=expirer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+
+    # current pointer exists, is complete, and resolves to live data
+    cur = io.read_manifest("nums")
+    assert cur is not None and cur["complete"]
+    snaps = io.snapshots("nums")
+    versions = [s["version"] for s in snaps]
+    assert len(versions) == len(set(versions)), "version claimed twice"
+    assert cur["version"] in versions
+    for s in snaps:
+        df = io.read_snapshot("nums", s["version"])
+        # fingerprint fp-{tid}-{i} wrote range(10*(tid+1)+i) rows
+        _, tid, i = s["fingerprint"].split("-")
+        assert df.count() == 10 * (int(tid) + 1) + int(i) == s["total_rows"]
+
+    # resume against the current fingerprint is clean (no rewrite)
+    n_cur = cur["total_rows"]
+    r = io.run_stage(
+        "nums",
+        lambda: io.spark.range(n_cur).selectExpr("id", "id * 2 as dbl"),
+        fingerprint=cur["fingerprint"],
+    )
+    assert r.resumed and r.rows == n_cur
