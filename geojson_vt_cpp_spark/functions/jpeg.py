@@ -3,18 +3,22 @@ scratch, no libjpeg/PIL in this environment.
 
 Gives the multimodal decode slot (:mod:`operators.multimodal`) a REAL path
 for the dominant web-image format, alongside the PNG codec
-(:mod:`functions.png`). Supported: baseline sequential DCT (SOF0), 8-bit,
-1 component (grayscale) or 3 components (YCbCr) at 4:4:4, 4:2:2 or 4:2:0
-subsampling, restart markers. Not supported (raise
-``NotImplementedError``): progressive (SOF2), arithmetic coding, 12-bit,
+(:mod:`functions.png`). Supported: baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2 — spectral selection + successive approximation,
+EOBn runs, all four scan kinds), 8-bit, 1 component (grayscale) or 3
+components (YCbCr) at 4:4:4, 4:2:2 or 4:2:0 subsampling, restart markers.
+Not supported (raise ``NotImplementedError``): arithmetic coding, 12-bit,
 CMYK — documented loudly rather than silently mis-decoded.
 
-``encode_jpeg`` exists for fixtures/round-trip tests: baseline 4:4:4 or
-4:2:0, Annex K quantization tables scaled by the libjpeg quality formula,
-Annex K huffman tables. The decoder is exercised against encoder output
-(lossy round-trip bounded by the quantization step) plus structural
-invariants a cancelling encoder/decoder bug pair could not fake (solid
-color reconstructs exactly; marker layout is checked field by field).
+``encode_jpeg`` exists for fixtures/round-trip tests: baseline or
+progressive (DC-first/AC-first at Al=1, then DC/AC refinement — all four
+scan decoders exercised), 4:4:4 or 4:2:0, Annex K quantization tables
+scaled by the libjpeg quality formula, Annex K huffman tables. The decoder
+is exercised against encoder output (lossy round-trip bounded by the
+quantization step) plus structural invariants a cancelling encoder/decoder
+bug pair could not fake (solid color reconstructs exactly; marker layout
+is checked field by field; progressive decode must equal baseline decode
+BIT-FOR-BIT, since both reconstruct the same quantized coefficients).
 
 Quantization/huffman tables: ITU T.81 Annex K (public spec constants).
 """
@@ -211,12 +215,21 @@ def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q.reshape(by, bx, 64)[:, :, ZIGZAG]
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
-    """(H, W, 3) or (H, W) uint8 -> baseline JFIF bytes.
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> JFIF bytes.
 
     ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 box-mean
     chroma) — the decoder handles both, so round-trip tests cover the
-    multi-block MCU path.
+    multi-block MCU path. ``progressive`` emits SOF2 with a
+    spectral-selection + successive-approximation scan script (DC first
+    Al=1 → AC first per component Al=1 → DC refine → AC refine), which
+    reconstructs the IDENTICAL quantized coefficients as the baseline
+    stream — the round-trip test asserts bit-equality of the decodes.
     """
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
@@ -268,7 +281,87 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") ->
     ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    bw = _BitWriter()
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, b"\x00" + qt_l.flatten()[ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + qt_c.flatten()[ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for (cid, hi, vi, qi) in comps:
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, qi)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
+    for tc_th, bits, vals in (
+        ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        if gray and (tc_th & 0x0F) == 1:
+            continue
+        out += seg(0xFFC4, bytes([tc_th] + bits) + bytes(vals))
+
+    def sos_seg(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            t = min(comps[ci][3], 1)
+            sos += bytes([comps[ci][0], (t << 4) | t])
+        return seg(0xFFDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        """Non-interleaved block grid (true component dims, not the
+        MCU-padded store) — must match the decoder's walk."""
+        _cid, hi, vi, _qi = comps[ci]
+        return (
+            (h * vi + 8 * vmax - 1) // (8 * vmax),
+            (w * hi + 8 * hmax - 1) // (8 * hmax),
+        )
+
+    if not progressive:
+        bw = _BitWriter()
+        _encode_baseline_scan(bw, qblocks, comps, mcux, mcuy, dc_tabs, ac_tabs)
+        bw.flush()
+        out += sos_seg(list(range(len(comps))), 0, 63, 0, 0)
+        out += bw.out
+    else:
+        all_cis = list(range(len(comps)))
+        scans: list[tuple] = [("dc_first", all_cis, 1)]
+        for ci in all_cis:
+            scans.append(("ac_first", ci, 1))
+        scans.append(("dc_refine", all_cis, 0))
+        for ci in all_cis:
+            scans.append(("ac_refine", ci, 0))
+        for kind, who, al in scans:
+            bw = _BitWriter()
+            if kind == "dc_first":
+                _encode_dc_first_scan(bw, qblocks, comps, mcux, mcuy, dc_tabs, al)
+                out += sos_seg(who, 0, 0, 0, al)
+            elif kind == "dc_refine":
+                _encode_dc_refine_scan(bw, qblocks, comps, mcux, mcuy, al)
+                out += sos_seg(who, 0, 0, al + 1, al)
+            else:
+                ch_, cw_ = comp_grid(who)
+                blocks = [
+                    qblocks[who][bri, bci]
+                    for bri in range(ch_)
+                    for bci in range(cw_)
+                ]
+                tac = ac_tabs[min(comps[who][3], 1)]
+                if kind == "ac_first":
+                    _encode_ac_first_scan(bw, blocks, tac, 1, 63, al)
+                    out += sos_seg([who], 1, 63, 0, al)
+                else:
+                    _encode_ac_refine_scan(bw, blocks, tac, 1, 63, al)
+                    out += sos_seg([who], 1, 63, al + 1, al)
+            bw.flush()
+            out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_baseline_scan(bw, qblocks, comps, mcux, mcuy, dc_tabs, ac_tabs):
     pred = [0] * len(comps)
     for my in range(mcuy):
         for mx in range(mcux):
@@ -302,38 +395,150 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") ->
                         if run:
                             code, length = tac[0x00]  # EOB
                             bw.write(code, length)
-    bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    out = bytearray(JPEG_SOI)
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xFFDB, b"\x00" + qt_l.flatten()[ZIGZAG].astype(np.uint8).tobytes())
-    if not gray:
-        out += seg(0xFFDB, b"\x01" + qt_c.flatten()[ZIGZAG].astype(np.uint8).tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for (cid, hi, vi, qi) in comps:
-        sof += struct.pack(">BBB", cid, (hi << 4) | vi, qi)
-    out += seg(0xFFC0, sof)  # SOF0: baseline DCT
-    for tc_th, bits, vals in (
-        ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
-        ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
-        ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
-        if gray and (tc_th & 0x0F) == 1:
+def _interleaved_blocks(qblocks, comps, mcux, mcuy):
+    """Yield (ci, zz) in the interleaved MCU order DC scans use."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, hi, vi, _qi) in enumerate(comps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        yield ci, qblocks[ci][my * vi + byi, mx * hi + bxi]
+
+
+def _encode_dc_first_scan(bw, qblocks, comps, mcux, mcuy, dc_tabs, al):
+    pred = [0] * len(comps)
+    for ci, zz in _interleaved_blocks(qblocks, comps, mcux, mcuy):
+        tdc = dc_tabs[min(comps[ci][3], 1)]
+        v = int(zz[0]) >> al  # arithmetic shift per T.81 G.1.2.1
+        diff = v - pred[ci]
+        pred[ci] = v
+        size, bits = _magnitude(diff)
+        code, length = tdc[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+
+
+def _encode_dc_refine_scan(bw, qblocks, comps, mcux, mcuy, al):
+    for _ci, zz in _interleaved_blocks(qblocks, comps, mcux, mcuy):
+        bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _emit_eob_symbol(bw, tac, eobrun: int) -> None:
+    """NOTE: the Annex K AC tables carry only EOB (0x00), not the EOBn
+    run symbols (0x10..0xE0) custom progressive tables define — so the
+    encoder flushes per block (eobrun == 1 always) and stays within the
+    fixed tables. The decoder handles full EOBn runs (tested against a
+    hand-built custom-DHT stream)."""
+    nbits = eobrun.bit_length() - 1
+    code, length = tac[nbits << 4]
+    bw.write(code, length)
+    if nbits:
+        bw.write(eobrun - (1 << nbits), nbits)
+
+
+def _encode_ac_first_scan(bw, blocks, tac, ss, se, al):
+    """AC first scan: magnitudes shifted right by Al (T.81 G.1.2.2),
+    EOB runs across all-zero bands."""
+    eobrun = 0
+    for zz in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            a = abs(v) >> al
+            vals.append(a if v >= 0 else -a)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            _emit_eob_symbol(bw, tac, eobrun)  # per-block flush (Annex K)
+            eobrun = 0
             continue
-        out += seg(0xFFC4, bytes([tc_th] + bits) + bytes(vals))
-    sos = bytes([len(comps)])
-    for (cid, hi, vi, qi) in comps:
-        t = min(qi, 1)
-        sos += bytes([cid, (t << 4) | t])
-    sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
-    out += seg(0xFFDA, sos)
-    out += bw.out
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+        if eobrun:
+            _emit_eob_symbol(bw, tac, eobrun)
+            eobrun = 0
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = tac[0xF0]
+                bw.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = tac[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+        if last < se - ss:  # trailing zeros -> EOB, flushed per block
+            _emit_eob_symbol(bw, tac, 1)
+    if eobrun:
+        _emit_eob_symbol(bw, tac, eobrun)
+
+
+def _encode_ac_refine_scan(bw, blocks, tac, ss, se, al):
+    """AC refinement scan (T.81 G.1.2.3, libjpeg-equivalent semantics):
+    newly-nonzero coefficients (shifted magnitude == 1) emit (run, 1) +
+    sign; already-nonzero ones emit positional correction bits, which the
+    decoder reads interleaved during its run walk; all-zero tails join a
+    buffered EOB run whose correction bits flush after the EOB symbol."""
+    eobrun = 0
+    bebits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, bebits
+        if eobrun:
+            _emit_eob_symbol(bw, tac, eobrun)
+            eobrun = 0
+        for b in bebits:
+            bw.write(b, 1)
+        bebits = []
+
+    for zz in blocks:
+        band = [int(zz[k]) for k in range(ss, se + 1)]
+        a = [abs(v) >> al for v in band]
+        newly = [i for i, ai in enumerate(a) if ai == 1]
+        if not newly:
+            eobrun += 1
+            bebits.extend(ai & 1 for ai in a if ai > 1)
+            flush_eob()  # per-block flush (Annex K tables lack EOBn)
+            continue
+        flush_eob()
+        i = 0
+        for j in newly:
+            zeros = [idx for idx in range(i, j) if a[idx] == 0]
+            r = len(zeros)
+            seg_start = i
+            while r > 15:
+                z16 = zeros[15]
+                code, length = tac[0xF0]
+                bw.write(code, length)
+                for idx in range(seg_start, z16 + 1):
+                    if a[idx] > 1:
+                        bw.write(a[idx] & 1, 1)
+                seg_start = z16 + 1
+                zeros = zeros[16:]
+                r -= 16
+            code, length = tac[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if band[j] >= 0 else 0, 1)
+            for idx in range(seg_start, j):
+                if a[idx] > 1:
+                    bw.write(a[idx] & 1, 1)
+            i = j + 1
+        tail = newly[-1] + 1
+        if tail <= se - ss:  # anything after the last new coef -> EOB
+            eobrun += 1
+            bebits.extend(a[idx] & 1 for idx in range(tail, len(a)) if a[idx] > 1)
+            flush_eob()  # per-block flush (Annex K tables lack EOBn)
+    if eobrun or bebits:
+        flush_eob()
 
 
 class _BitReader:
@@ -373,74 +578,12 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, channels) uint8 (3 for YCbCr, 1 for
-    grayscale)."""
-    if data[:2] != JPEG_SOI:
-        raise ValueError("not a JPEG: bad SOI")
-    pos = 2
-    qts: dict[int, np.ndarray] = {}
-    dc_trees: dict[int, dict] = {}
-    ac_trees: dict[int, dict] = {}
-    comps: list[tuple[int, int, int, int]] = []
-    h = w = 0
-    restart_interval = 0
-    scan = None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("invalid JPEG: marker expected")
-        marker = data[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        payload = data[pos + 4 : pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            off = 0
-            while off < len(payload):
-                pq, tq = payload[off] >> 4, payload[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
-                zz = np.frombuffer(payload[off + 1 : off + 65], dtype=np.uint8)
-                qts[tq] = zz.astype(np.int32)[UNZIGZAG].reshape(8, 8)
-                off += 65
-        elif marker == 0xC4:  # DHT
-            off = 0
-            while off < len(payload):
-                tc, th = payload[off] >> 4, payload[off] & 0x0F
-                bits = list(payload[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(payload[off + 17 : off + 17 + n])
-                tree = _decode_tree(bits, vals)
-                (ac_trees if tc else dc_trees)[th] = tree
-                off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
-            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} not supported")
-            for i in range(nc):
-                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported"
-            )
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS: entropy-coded data follows
-            ns = payload[0]
-            scan = [
-                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4, payload[2 + 2 * i] & 0x0F)
-                for i in range(ns)
-            ]
-            break
-    if scan is None or not comps:
-        raise ValueError("invalid JPEG: missing SOF/SOS")
-
-    # de-stuff the entropy stream, keeping restart-marker positions
+def _destuff(data: bytes, pos: int) -> tuple[bytes, list[int], int]:
+    """De-stuff one entropy-coded segment starting at ``pos``. Returns
+    (ecs bytes, bit offsets just after each RST marker, position of the
+    terminating marker's 0xFF)."""
     ecs = bytearray()
-    rst_resets = []  # bit offsets where DC predictors reset
+    rst_resets: list[int] = []
     p = pos
     while p < len(data) - 1:
         b = data[p]
@@ -454,71 +597,232 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 rst_resets.append(len(ecs) * 8)
                 p += 2
                 continue
-            break  # EOI or next marker
+            break  # next real marker
         ecs.append(b)
         p += 1
+    return bytes(ecs), rst_resets, p
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_comp = {c[0]: c for c in comps}
-    scan_full = [
-        (by_comp[cid][1], by_comp[cid][2], by_comp[cid][3], td, ta)
-        for cid, td, ta in scan
-    ]
 
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for (hi, vi, _tq, _td, _ta) in scan_full
-    ]
-    br = _BitReader(bytes(ecs))
-    pred = [0] * len(scan_full)
-    mcu_count = 0
-    rst_iter = iter(rst_resets)
-    next_rst = next(rst_iter, None)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align()
-                if next_rst is not None:
-                    br.pos = next_rst
-                    next_rst = next(rst_iter, None)
-                pred = [0] * len(scan_full)
-            mcu_count += 1
-            for ci, (hi, vi, tq, td, ta) in enumerate(scan_full):
-                for byi in range(vi):
-                    for bxi in range(hi):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = _read_huffman(br, dc_trees[td])
-                        diff = _extend(br.bits(size), size) if size else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huffman(br, ac_trees[ta])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            s = rs & 0x0F
-                            if k > 63:
-                                raise ValueError("invalid JPEG: AC index overflow")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coef = (zz[UNZIGZAG].reshape(8, 8) * qts[tq]).astype(
-                            np.float64
+class _ScanDecoder:
+    """Decodes one entropy-coded scan into the zigzag coefficient store.
+
+    Handles all four progressive scan kinds (T.81 §G.2, the successive-
+    approximation control mirrors the public libjpeg phuff semantics) plus
+    the baseline full-band scan as the Ss=0/Se=63/Ah=Al=0 special case.
+    """
+
+    def __init__(self, br: _BitReader, dc_trees, ac_trees):
+        self.br = br
+        self.dc_trees = dc_trees
+        self.ac_trees = ac_trees
+        self.eobrun = 0
+
+    def baseline_block(self, zz: np.ndarray, ci: int, pred: list, td: int, ta: int):
+        br = self.br
+        size = _read_huffman(br, self.dc_trees[td])
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _read_huffman(br, self.ac_trees[ta])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0x0F
+            if k > 63:
+                raise ValueError("invalid JPEG: AC index overflow")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+
+    def dc_first(self, zz: np.ndarray, ci: int, pred: list, td: int, al: int):
+        br = self.br
+        size = _read_huffman(br, self.dc_trees[td])
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci] << al
+
+    def dc_refine(self, zz: np.ndarray, al: int):
+        if self.br.bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first(self, zz: np.ndarray, ta: int, ss: int, se: int, al: int):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        br = self.br
+        k = ss
+        while k <= se:
+            rs = _read_huffman(br, self.ac_trees[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += br.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("invalid JPEG: AC index overflow")
+            zz[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine(self, zz: np.ndarray, ta: int, ss: int, se: int, al: int):
+        br = self.br
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = _read_huffman(br, self.ac_trees[ta])
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid JPEG: AC refinement size must be 1"
                         )
-                        block = _D.T @ coef @ _D + 128.0
-                        y0 = (my * vi + byi) * 8
-                        x0 = (mx * hi + bxi) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                    newval = p1 if br.bit() else m1
+                else:
+                    if r != 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += br.bits(r)
+                        break  # fall through to the EOB-run correction walk
+                    # r == 15: ZRL — skip 16 zero-history positions
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0:
+                        if br.bit() and (v & p1) == 0:
+                            zz[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            self.eobrun -= 1
 
-    # upsample each component to full resolution (pixel replication)
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes -> (H, W, channels) uint8 (3 for YCbCr, 1 for
+    grayscale). Baseline sequential (SOF0/1) and progressive (SOF2) —
+    spectral selection + successive approximation, restart markers."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}  # ZIGZAG order
+    dc_trees: dict[int, dict] = {}
+    ac_trees: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
+    coef: list[np.ndarray] | None = None  # per comp: (by, bx, 64) zigzag
+    saw_scan = False
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("invalid JPEG: marker expected")
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                zz = np.frombuffer(payload[off + 1 : off + 65], dtype=np.uint8)
+                qts[tq] = zz.astype(np.int32)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + n])
+                tree = _decode_tree(bits, vals)
+                (ac_trees if tc else dc_trees)[th] = tree
+                off += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} not supported")
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                for (_cid, hi, vi, _tq) in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            if coef is None:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = payload[0]
+            scan = [
+                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4,
+                 payload[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah_al = payload[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            ecs, rst_resets, pos = _destuff(data, pos)
+            _decode_one_scan(
+                coef, comps, scan, ss, se, ah, al, progressive,
+                ecs, rst_resets, restart_interval, dc_trees, ac_trees,
+                h, w, hmax, vmax, mcux, mcuy,
+            )
+            saw_scan = True
+        # other markers (APPn, COM): skipped
+    if coef is None or not saw_scan:
+        raise ValueError("invalid JPEG: missing SOF/SOS")
+
+    # dequantize + IDCT (vectorized over all blocks) + upsample + color
     full = []
-    for (hi, vi, _tq, _td, _ta), pl in zip(scan_full, planes):
+    for (cid, hi, vi, tq), zzs in zip(comps, coef):
+        by, bx = zzs.shape[0], zzs.shape[1]
+        blocks = (zzs[:, :, UNZIGZAG].reshape(by, bx, 8, 8)
+                  * qts[tq][UNZIGZAG].reshape(8, 8)).astype(np.float64)
+        spatial = np.einsum("ux,nmuv,vy->nmxy", _D, blocks, _D) + 128.0
+        pl = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if hi != hmax or vi != vmax:
             pl = np.repeat(np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(pl[:h, :w])
@@ -526,3 +830,72 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.round(rgb).clip(0, 255).astype(np.uint8)
+
+
+def _decode_one_scan(
+    coef, comps, scan, ss, se, ah, al, progressive,
+    ecs, rst_resets, restart_interval, dc_trees, ac_trees,
+    h, w, hmax, vmax, mcux, mcuy,
+):
+    by_comp = {c[0]: (i, c) for i, c in enumerate(comps)}
+    dec = _ScanDecoder(_BitReader(ecs), dc_trees, ac_trees)
+    br = dec.br
+    rst_iter = iter(rst_resets)
+    next_rst = next(rst_iter, None)
+    pred = [0] * len(scan)
+
+    def restart():
+        nonlocal next_rst
+        br.align()
+        if next_rst is not None:
+            br.pos = next_rst
+            next_rst = next(rst_iter, None)
+        pred[:] = [0] * len(scan)
+        dec.eobrun = 0
+
+    is_dc = ss == 0
+    if len(scan) > 1:
+        # interleaved MCU order (multi-component scans; AC must be ns==1)
+        if not is_dc:
+            raise ValueError("invalid JPEG: interleaved AC-band scan")
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                for si, (cid, td, ta) in enumerate(scan):
+                    ci, (_cid, hi, vi, _tq) = by_comp[cid]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            zz = coef[ci][my * vi + byi, mx * hi + bxi]
+                            if not progressive:
+                                dec.baseline_block(zz, si, pred, td, ta)
+                            elif ah == 0:
+                                dec.dc_first(zz, si, pred, td, al)
+                            else:
+                                dec.dc_refine(zz, al)
+    else:
+        # non-interleaved: the component's own block grid, row-major
+        cid, td, ta = scan[0]
+        ci, (_cid, hi, vi, _tq) = by_comp[cid]
+        cw = (w * hi + 8 * hmax - 1) // (8 * hmax)
+        ch = (h * vi + 8 * vmax - 1) // (8 * vmax)
+        unit = 0
+        for bri in range(ch):
+            for bci in range(cw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                zz = coef[ci][bri, bci]
+                if not progressive:
+                    dec.baseline_block(zz, 0, pred, td, ta)
+                elif is_dc:
+                    if ah == 0:
+                        dec.dc_first(zz, 0, pred, td, al)
+                    else:
+                        dec.dc_refine(zz, al)
+                elif ah == 0:
+                    dec.ac_first(zz, ta, ss, se, al)
+                else:
+                    dec.ac_refine(zz, ta, ss, se, al)

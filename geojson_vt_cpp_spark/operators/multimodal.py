@@ -97,9 +97,10 @@ ENCODED_MEDIA_BASE_ID = 1000  # real-encoded corpus ids sit above the fakes
 def encoded_media_rows(n: int = 12) -> list[tuple]:
     """Deterministic REAL-encoded payload corpus: row i carries a small
     hash-seeded RGB image encoded through the from-scratch codecs —
-    round-robin PNG / JPEG 4:4:4 / JPEG 4:2:0 / grayscale JPEG — so the
-    driver-oracled ``mm_image_features`` exercises the real decode paths
-    (incl. lossy JPEG) end to end. Shared verbatim by the Spark query
+    round-robin PNG / JPEG 4:4:4 / JPEG 4:2:0 / grayscale JPEG /
+    progressive JPEG / Adam7-interlaced PNG — so the driver-oracled
+    ``mm_image_features`` exercises the real decode paths
+    (incl. lossy + progressive JPEG) end to end. Shared verbatim by the Spark query
     (:func:`__spark_entry__._mm_image_features`) and its literal oracle
     (functions/golden_oracle.py): both sides run the same deterministic
     encode, so the decoded features agree bit-for-bit.
@@ -116,13 +117,20 @@ def encoded_media_rows(n: int = 12) -> list[tuple]:
         h = 16 + (i % 3) * 8
         seed_payload = hashlib.md5(f"enc-{i}".encode()).digest()
         img = decode_image_stub(seed_payload, w, h, fake=True)
-        fmt = ("png", "jpeg444", "jpeg420", "jpeg_gray")[i % 4]
+        fmt = ("png", "jpeg444", "jpeg420", "jpeg_gray", "jpeg_prog", "png_adam7")[i % 6]
         if fmt == "png":
             payload, kind = encode_png(img), "image/png"
+        elif fmt == "png_adam7":
+            payload, kind = encode_png(img, interlace=True), "image/png"
         elif fmt == "jpeg444":
             payload, kind = encode_jpeg(img, quality=85, subsampling="444"), "image/jpeg"
         elif fmt == "jpeg420":
             payload, kind = encode_jpeg(img, quality=85, subsampling="420"), "image/jpeg"
+        elif fmt == "jpeg_prog":  # progressive SOF2, 4:2:0
+            payload, kind = (
+                encode_jpeg(img, quality=85, subsampling="420", progressive=True),
+                "image/jpeg",
+            )
         else:  # grayscale JPEG (1-component scan)
             payload, kind = encode_jpeg(img[:, :, 0], quality=85), "image/jpeg"
         rows.append((doc_id, f"media://enc/{i}", payload, kind, w, h))

@@ -76,14 +76,116 @@ def test_bad_soi_raises():
         decode_jpeg(b"\x00\x01notajpeg")
 
 
-def test_progressive_raises_not_implemented():
-    """A SOF2 (progressive) marker must raise loudly, not mis-decode."""
+def test_lossless_sof3_raises_not_implemented():
+    """An unsupported SOF marker (lossless SOF3) must raise loudly."""
     enc = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
     i = enc.find(b"\xff\xc0")
     assert i > 0
-    enc[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[i + 1] = 0xC3  # SOF0 -> SOF3
+    with pytest.raises(NotImplementedError, match="SOF0/1"):
         decode_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize(
+    "w,h,sub,gray,q",
+    [
+        (16, 16, "444", False, 85),
+        (24, 16, "420", False, 85),
+        (17, 9, "444", False, 40),
+        (21, 13, "420", False, 95),
+        (33, 17, "420", True, 85),
+        (5, 3, "444", False, 85),
+    ],
+)
+def test_progressive_decode_equals_baseline(w, h, sub, gray, q):
+    """Progressive (SOF2) and baseline streams of the same image carry the
+    SAME quantized coefficients, so the decodes must agree bit-for-bit —
+    a sharp oracle over all four progressive scan decoders (DC/AC first at
+    Al=1, DC/AC refinement)."""
+    import hashlib
+
+    from geojson_vt_cpp_spark.operators.multimodal import decode_image_stub
+
+    img = decode_image_stub(hashlib.md5(f"pr{w}x{h}".encode()).digest(), w, h, fake=True)
+    if gray:
+        img = img[:, :, 0]
+    base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eobn_run_custom_table():
+    """EOBn (run > 1) decode path: hand-built SOF2 gray stream, 16x8 (two
+    blocks), custom AC huffman table carrying the EOB2 symbol 0x10 that
+    Annex K tables lack. DC scan sets both blocks' DC to 8 (qt all-ones),
+    AC scan is a single EOB2 covering both blocks -> every pixel exactly
+    8/8 + 128 = 129."""
+    import struct as _s
+
+    from geojson_vt_cpp_spark.functions.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _canonical_codes,
+    )
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.bits.append((code >> i) & 1)
+
+        def bytes_(self):
+            out = bytearray()
+            b = self.bits + [1] * (-len(self.bits) % 8)
+            for i in range(0, len(b), 8):
+                byte = 0
+                for bit in b[i : i + 8]:
+                    byte = (byte << 1) | bit
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def seg(marker, payload):
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    # custom AC table: 3 symbols at code length 2 — EOB(0x00), EOB2(0x10),
+    # (run0,size1)(0x01)
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x10, 0x01]
+    ac = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # qt0: all ones
+    out += seg(0xFFC2, _s.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+
+    # DC first scan (Ss=0, Se=0, Ah=0, Al=0): diffs 8, 0
+    bw = BW()
+    code, ln = dc[4]  # size category of diff=8
+    bw.put(code, ln)
+    bw.put(8, 4)
+    code, ln = dc[0]  # diff=0
+    bw.put(code, ln)
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += bw.bytes_()
+
+    # AC scan (Ss=1, Se=63, Ah=0, Al=0): EOB2 + 1 extension bit (0)
+    bw = BW()
+    code, ln = ac[0x10]
+    bw.put(code, ln)
+    bw.put(0, 1)  # eobrun = (1<<1)-1 + 0 = 1 -> covers this and next block
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += bw.bytes_()
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16, 1)
+    assert (img == 129).all()
 
 
 def test_decode_image_stub_dispatch():

@@ -102,14 +102,16 @@ def test_palette_index_out_of_range_is_loud():
 def test_error_paths():
     with pytest.raises(ValueError, match="bad signature"):
         decode_png(b"GIF89a" + b"\x00" * 20)
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    png16 = PNG_SIGNATURE + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(png16)
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    png_i = PNG_SIGNATURE + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(png_i)
+    # depth 4 is illegal for truecolor (spec §11.2.2)
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    png_bad = PNG_SIGNATURE + _chunk(b"IHDR", ihdr_bad) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        decode_png(png_bad)
+    # well-formed header but no image data
+    ihdr_ok = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png_noidat = PNG_SIGNATURE + _chunk(b"IHDR", ihdr_ok) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IDAT"):
+        decode_png(png_noidat)
 
 
 def test_decode_image_stub_real_png_normalizes_channels():
@@ -123,8 +125,8 @@ def test_decode_image_stub_real_png_normalizes_channels():
     out = decode_image_stub(encode_png(gray), 3, 4, fake=False)
     assert out.shape == (4, 3, 3) and np.array_equal(out[:, :, 0], gray[:, :, 0])
 
-    with pytest.raises(NotImplementedError, match="non-PNG"):
-        decode_image_stub(b"\xff\xd8\xff\xe0jpeg-ish", 3, 4, fake=False)
+    with pytest.raises(NotImplementedError, match="non-PNG/JPEG"):
+        decode_image_stub(b"GIF89a-unsupported-format", 3, 4, fake=False)
 
 
 @pytest.mark.spark
@@ -156,3 +158,61 @@ def test_mm_image_features_real_decode(spark):
         assert r["mean_g"] == pytest.approx(float(img[:, :, 1].mean()), abs=1e-12)
         assert r["mean_b"] == pytest.approx(float(img[:, :, 2].mean()), abs=1e-12)
         assert r["std_gray"] == pytest.approx(float(img.mean(axis=2).std()), abs=1e-12)
+
+
+def _manual_png(w, h, depth, color_type, scanlines: bytes, plte: bytes | None = None):
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", _z.compress(scanlines)) + _chunk(b"IEND", b"")
+
+
+def test_adam7_round_trip_all_shapes():
+    # odd dims exercise empty/partial passes; every channel count
+    for ch, (h, w) in [(1, (9, 7)), (2, (5, 3)), (3, (8, 8)), (4, (1, 1)), (3, (2, 10))]:
+        img = _rand_img(h, w, ch, seed=ch * 100 + h)
+        out = decode_png(encode_png(img, interlace=True))
+        assert np.array_equal(out, img), (ch, h, w)
+
+
+def test_16bit_gray_and_rgb_decode_high_byte():
+    # 2x2 gray, depth 16, filter 0 per row; samples big-endian
+    vals = [[0x1234, 0xFF00], [0x0001, 0xABCD]]
+    rows = b""
+    for r in vals:
+        rows += b"\x00" + b"".join(struct.pack(">H", v) for v in r)
+    img = decode_png(_manual_png(2, 2, 16, 0, rows))
+    assert img.shape == (2, 2, 1)
+    assert img[:, :, 0].tolist() == [[0x12, 0xFF], [0x00, 0xAB]]
+
+    # 1x2 RGB depth 16 with an Up-filtered second row
+    row1 = struct.pack(">HHH", 0x0100, 0x0200, 0x0300)
+    png = _manual_png(1, 2, 16, 2, b"\x00" + row1 + b"\x02" + b"\x00" * 6)
+    img = decode_png(png)
+    assert img.shape == (2, 1, 3)
+    assert img[0, 0].tolist() == [1, 2, 3] == img[1, 0].tolist()
+
+
+def test_sub_byte_gray_scaling():
+    # 1-bit: 8 pixels in one byte 0b10110001 -> 255 where bit set
+    png = _manual_png(8, 1, 1, 0, b"\x00" + bytes([0b10110001]))
+    img = decode_png(png)
+    assert img[0, :, 0].tolist() == [255, 0, 255, 255, 0, 0, 0, 255]
+    # 2-bit: values 0..3 scale to 0/85/170/255
+    png = _manual_png(4, 1, 2, 0, b"\x00" + bytes([0b00011011]))
+    assert decode_png(png)[0, :, 0].tolist() == [0, 85, 170, 255]
+    # 4-bit: 0xF and 0x7 -> 255, 119
+    png = _manual_png(2, 1, 4, 0, b"\x00" + bytes([0xF7]))
+    assert decode_png(png)[0, :, 0].tolist() == [255, 119]
+
+
+def test_sub_byte_palette_indexes_unscaled():
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # 2-bit palette: indexes 3,2,1,0 packed MSB-first
+    png = _manual_png(4, 1, 2, 3, b"\x00" + bytes([0b11100100]), plte=plte)
+    img = decode_png(png)
+    assert img.shape == (1, 4, 3)
+    assert img[0].tolist() == [[100, 110, 120], [70, 80, 90], [40, 50, 60], [10, 20, 30]]

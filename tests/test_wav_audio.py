@@ -114,3 +114,15 @@ def test_mm_audio_features_oracle_parity(spark):
     assert list(a.columns) == list(b.columns)
     for c in a.columns:
         assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_24_and_32_bit_round_trip_top_bytes():
+    import numpy as np
+
+    from geojson_vt_cpp_spark.functions.wav import decode_wav, encode_wav
+
+    s = np.array([[0, 32767], [-32768, -1], [1234, -4321]], dtype=np.int16)
+    for sw in (3, 4):
+        out, rate = decode_wav(encode_wav(s, 8000, sample_width=sw))
+        assert rate == 8000 and out.shape == s.shape
+        assert np.array_equal(out, s), sw
