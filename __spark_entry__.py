@@ -535,6 +535,21 @@ def _pyramid_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _tile_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT export surface: the us-states pyramid serialized to Mapbox
+    Vector Tile protobuf blobs (operators/tile_export.py, spec 2.1), decoded
+    back, one digest row per feature. Oracle: the reference's own golden
+    tiles pushed through the identical encode->decode
+    (functions/golden_oracle.py:tile_mvt_roundtrip_oracle_sql), so the
+    serialized output is pinned to the reference fixture through the full
+    protobuf round trip."""
+    from geojson_vt_cpp_spark.operators import tile_export as TE
+
+    pyr = _pyramid(spark)
+    mvt_df = TE.tiles_to_mvt(pyr.tile_features())
+    return TE.mvt_feature_summary(mvt_df)
+
+
 def _stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregate run availableNow over the
     static events table (file source staged to a temp dir); deterministic:
@@ -780,6 +795,7 @@ def _register_python_queries() -> dict[str, Callable[[SparkSession, str], DataFr
                 "stream_pip_triangles": _stream_pip_triangles,
                 "pyramid_tiles_per_zoom": _pyramid_tiles_per_zoom,
                 "pyramid_tile_features": _pyramid_tile_features,
+                "tile_mvt_roundtrip": _tile_mvt_roundtrip,
                 "mm_image_features": _mm_image_features,
                 "mm_resize_features": _mm_resize_features,
                 "mm_video_frames": _mm_video_frames,
@@ -800,6 +816,7 @@ _FRONT_ORDER = (
     "geo_feature_stats",
     "pyramid_tiles_per_zoom",
     "pyramid_tile_features",
+    "tile_mvt_roundtrip",  # reuses the cached pyramid — cheap after the above
     "mm_image_features",
     "mm_resize_features",
     "mm_video_frames",
@@ -868,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["pyramid_tiles_per_zoom"] = G.pyramid_tiles_per_zoom_oracle_sql()
     o["pyramid_tile_features"] = G.pyramid_tile_features_oracle_sql()
+    o["tile_mvt_roundtrip"] = G.tile_mvt_roundtrip_oracle_sql()
     o["mm_image_features"] = G.mm_image_features_oracle_sql()
     o["mm_resize_features"] = G.mm_resize_features_oracle_sql()
     o["mm_video_frames"] = G.mm_video_frames_oracle_sql()

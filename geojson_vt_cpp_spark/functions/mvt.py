@@ -1,0 +1,419 @@
+"""Mapbox Vector Tile (MVT) encoder/decoder — pure Python, from the public
+vector-tile-spec 2.1 (protobuf wire format hand-rolled; no protobuf dep in
+this environment).
+
+This is the tile SINK a real consumer of the engine needs: the reference
+(geojson-vt-cpp) stops at in-memory tile features
+(``/root/reference/include/mapbox/geojsonvt/types.hpp`` ``TileFeature``)
+and leaves serialization to the companion vt-pbf/tippecanoe ecosystem; here
+the quantized tile features (operators/codec.TILE_FEATURES_SCHEMA rows)
+serialize straight to spec-compliant ``.mvt`` protobuf blobs, one per tile,
+via :func:`operators.tile_export.tiles_to_mvt`.
+
+Wire layout (vector_tile.proto, spec 2.1):
+
+  Tile:    repeated Layer layers = 3
+  Layer:   name=1 string, features=2 repeated, keys=3 repeated string,
+           values=4 repeated Value, extent=5 uint32, version=15 uint32
+  Feature: id=1 uint64, tags=2 packed uint32, type=3 enum
+           (1 POINT / 2 LINESTRING / 3 POLYGON), geometry=4 packed uint32
+  Value:   exactly one of string=1 / float=2 / double=3 / int=4 /
+           uint=5 / sint=6 / bool=7
+  Geometry: CommandInteger = (id & 0x7) | (count << 3) with id 1=MoveTo,
+           2=LineTo, 7=ClosePath; parameters are zigzag-encoded deltas
+           from a cursor that persists across parts of one feature.
+
+Fidelity policy (matches the public vt-pbf conventions):
+
+- polygon rings are written WITHOUT the redundant closing vertex
+  (ClosePath carries it), so decode returns closure-normalized rings —
+  the same normalization the golden comparator applies
+  (tests/golden_utils.py ring-closure rule);
+- feature ids: unsigned-integer ids and digit-string ids encode into the
+  uint64 ``id`` field (``"02"`` -> 2 — the standard MVT leading-zero
+  loss); negative/float/other-string ids are omitted;
+- tag values: bool -> bool_value, non-negative int -> int_value,
+  negative int -> sint_value, non-integral float -> double_value,
+  str -> string_value, None skipped, anything else JSON-stringified;
+- unknown protobuf fields are skipped on decode (forward compatibility).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+_CMD_MOVE_TO = 1
+_CMD_LINE_TO = 2
+_CMD_CLOSE_PATH = 7
+
+
+# ---------------------------------------------------------------------------
+# protobuf primitives
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field."""
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 2:
+        n, pos = _read_varint(buf, pos)
+        return pos + n
+    if wire == 5:
+        return pos + 4
+    raise ValueError(f"unsupported protobuf wire type {wire}")
+
+
+# ---------------------------------------------------------------------------
+# Value (tag values)
+
+
+def _encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(int(v))
+    if isinstance(v, int):
+        if v >= 0:
+            return _tag(4, 0) + _varint(v)
+        return _tag(6, 0) + _varint(_zigzag(v))
+    if isinstance(v, float):
+        if v.is_integer() and abs(v) < 2**53:
+            iv = int(v)
+            if iv >= 0:
+                return _tag(4, 0) + _varint(iv)
+            return _tag(6, 0) + _varint(_zigzag(iv))
+        return _tag(3, 1) + struct.pack("<d", v)
+    if isinstance(v, str):
+        payload = v.encode("utf-8")
+        return _tag(1, 2) + _varint(len(payload)) + payload
+    # objects/arrays: JSON-stringify (vt-pbf convention)
+    payload = json.dumps(v, sort_keys=True, separators=(",", ":")).encode("utf-8")
+    return _tag(1, 2) + _varint(len(payload)) + payload
+
+
+def _decode_value(buf: bytes):
+    pos = 0
+    out = None
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1:  # string
+            n, pos = _read_varint(buf, pos)
+            out = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        elif field == 2:  # float
+            out = struct.unpack("<f", buf[pos : pos + 4])[0]
+            pos += 4
+        elif field == 3:  # double
+            out = struct.unpack("<d", buf[pos : pos + 8])[0]
+            pos += 8
+        elif field == 4:  # int64
+            v, pos = _read_varint(buf, pos)
+            out = v - (1 << 64) if v >= 1 << 63 else v
+        elif field == 5:  # uint64
+            out, pos = _read_varint(buf, pos)
+        elif field == 6:  # sint64
+            v, pos = _read_varint(buf, pos)
+            out = _unzigzag(v)
+        elif field == 7:  # bool
+            v, pos = _read_varint(buf, pos)
+            out = bool(v)
+        else:
+            pos = _skip_field(buf, pos, wire)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# geometry commands
+
+
+def _encode_geometry(gtype: int, parts) -> bytes:
+    """parts: sequence of sequences of (x, y) int pairs. Polygon rings may
+    arrive closed (first == last); the closing vertex is dropped per spec."""
+    cmds: list[int] = []
+    cx = cy = 0
+    for part in parts:
+        pts = list(part)
+        if gtype == GEOM_POLYGON and len(pts) > 1 and tuple(pts[0]) == tuple(pts[-1]):
+            pts = pts[:-1]
+        if not pts:
+            continue
+        if gtype == GEOM_POINT:
+            cmds.append((_CMD_MOVE_TO & 0x7) | (len(pts) << 3))
+            for x, y in pts:
+                cmds.append(_zigzag(int(x) - cx))
+                cmds.append(_zigzag(int(y) - cy))
+                cx, cy = int(x), int(y)
+            continue
+        if len(pts) < 2:
+            continue  # degenerate line/ring: unrepresentable, drop the part
+        cmds.append((_CMD_MOVE_TO & 0x7) | (1 << 3))
+        x0, y0 = (int(v) for v in pts[0])
+        cmds.append(_zigzag(x0 - cx))
+        cmds.append(_zigzag(y0 - cy))
+        cx, cy = x0, y0
+        cmds.append((_CMD_LINE_TO & 0x7) | ((len(pts) - 1) << 3))
+        for x, y in pts[1:]:
+            cmds.append(_zigzag(int(x) - cx))
+            cmds.append(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        if gtype == GEOM_POLYGON:
+            cmds.append((_CMD_CLOSE_PATH & 0x7) | (1 << 3))
+    return b"".join(_varint(c) for c in cmds)
+
+
+def _decode_geometry(gtype: int, buf: bytes) -> list[list[tuple[int, int]]]:
+    vals: list[int] = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        vals.append(v)
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(vals):
+        cmd = vals[i]
+        i += 1
+        cmd_id, count = cmd & 0x7, cmd >> 3
+        if cmd_id == _CMD_MOVE_TO:
+            for _ in range(count):
+                cx += _unzigzag(vals[i])
+                cy += _unzigzag(vals[i + 1])
+                i += 2
+                if gtype == GEOM_POINT:
+                    cur.append((cx, cy))
+                else:
+                    if cur:
+                        parts.append(cur)
+                    cur = [(cx, cy)]
+        elif cmd_id == _CMD_LINE_TO:
+            for _ in range(count):
+                cx += _unzigzag(vals[i])
+                cy += _unzigzag(vals[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cmd_id == _CMD_CLOSE_PATH:
+            if count != 1:
+                raise ValueError("ClosePath count must be 1")
+            parts.append(cur)
+            cur = []
+        else:
+            raise ValueError(f"unknown geometry command {cmd_id}")
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# layer / tile
+
+
+def _coerce_id(feature_id, id_kind: str | None):
+    """uint64 or digit-string ids -> int for the MVT id field; else None."""
+    if feature_id is None:
+        return None
+    if id_kind in (None, "u64", "str"):
+        s = str(feature_id)
+        if s.isdigit():
+            v = int(s)
+            if v < 1 << 64:
+                return v
+    return None
+
+
+def encode_layer(
+    name: str,
+    features,
+    extent: int = 4096,
+) -> bytes:
+    """features: iterable of dicts with keys ``type`` (1/2/3), ``parts``
+    (list of point lists), ``tags`` (dict), optional ``id`` + ``id_kind``."""
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+    feat_bufs: list[bytes] = []
+    for ft in features:
+        tag_ints: list[int] = []
+        for k, v in ft.get("tags", {}).items():
+            if v is None:
+                continue
+            ki = key_idx.get(k)
+            if ki is None:
+                ki = key_idx[k] = len(keys)
+                keys.append(k)
+            ev = _encode_value(v)
+            vb = _varint(len(ev)) + ev  # len-delimited Value message body
+            vi = value_idx.get(vb)
+            if vi is None:
+                vi = value_idx[vb] = len(values)
+                values.append(vb)
+            tag_ints.extend((ki, vi))
+        buf = bytearray()
+        fid = _coerce_id(ft.get("id"), ft.get("id_kind"))
+        if fid is not None:
+            buf += _tag(1, 0) + _varint(fid)
+        if tag_ints:
+            packed = b"".join(_varint(t) for t in tag_ints)
+            buf += _tag(2, 2) + _varint(len(packed)) + packed
+        buf += _tag(3, 0) + _varint(int(ft["type"]))
+        geom = _encode_geometry(int(ft["type"]), ft["parts"])
+        buf += _tag(4, 2) + _varint(len(geom)) + geom
+        feat_bufs.append(bytes(buf))
+    layer = bytearray()
+    layer += _tag(15, 0) + _varint(2)  # version 2 first (writer convention)
+    layer += _ld(1, name.encode("utf-8"))
+    for fb in feat_bufs:
+        layer += _ld(2, fb)
+    for k in keys:
+        layer += _ld(3, k.encode("utf-8"))
+    for vb in values:
+        layer += _tag(4, 2) + vb
+    layer += _tag(5, 0) + _varint(extent)
+    return bytes(layer)
+
+
+def encode_tile(layers: dict[str, list] | list[tuple[str, list]], extent: int = 4096) -> bytes:
+    """One or more named layers -> a complete .mvt tile blob."""
+    items = layers.items() if isinstance(layers, dict) else layers
+    return b"".join(_ld(3, encode_layer(name, feats, extent)) for name, feats in items)
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """-> [{name, extent, version, features: [{type, parts, tags, id}]}]"""
+    layers = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 3 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            layers.append(_decode_layer(buf[pos : pos + n]))
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wire)
+    return layers
+
+
+def _decode_layer(buf: bytes) -> dict:
+    name = ""
+    extent = 4096
+    version = 1
+    keys: list[str] = []
+    values: list = []
+    feat_bufs: list[bytes] = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        elif field == 2 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            feat_bufs.append(buf[pos : pos + n])
+            pos += n
+        elif field == 3 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            keys.append(buf[pos : pos + n].decode("utf-8"))
+            pos += n
+        elif field == 4 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            values.append(_decode_value(buf[pos : pos + n]))
+            pos += n
+        elif field == 5 and wire == 0:
+            extent, pos = _read_varint(buf, pos)
+        elif field == 15 and wire == 0:
+            version, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip_field(buf, pos, wire)
+    features = [_decode_feature(fb, keys, values) for fb in feat_bufs]
+    return {
+        "name": name,
+        "extent": extent,
+        "version": version,
+        "features": features,
+    }
+
+
+def _decode_feature(buf: bytes, keys: list[str], values: list) -> dict:
+    fid = None
+    gtype = 0
+    tags: dict = {}
+    parts: list = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1 and wire == 0:
+            fid, pos = _read_varint(buf, pos)
+        elif field == 2 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            end = pos + n
+            ints: list[int] = []
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                ints.append(v)
+            for ki, vi in zip(ints[0::2], ints[1::2]):
+                tags[keys[ki]] = values[vi]
+        elif field == 3 and wire == 0:
+            gtype, pos = _read_varint(buf, pos)
+        elif field == 4 and wire == 2:
+            n, pos = _read_varint(buf, pos)
+            parts = _decode_geometry(gtype if gtype else GEOM_LINESTRING, buf[pos : pos + n])
+            pos += n
+        else:
+            pos = _skip_field(buf, pos, wire)
+    # a geometry that arrived before the type field (field order is not
+    # guaranteed by protobuf): re-decode with the known type
+    if gtype == GEOM_POINT and len(parts) > 1:
+        parts = [[p for part in parts for p in part]]
+    return {"type": gtype, "parts": parts, "tags": tags, "id": fid}

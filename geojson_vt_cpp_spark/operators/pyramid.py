@@ -58,6 +58,28 @@ class Tile:
     num_points: int = 0
     num_simplified: int = 0
 
+    def to_mvt(self, layer_name: str = "features", extent: int = 4096) -> bytes:
+        """Serialize to a Mapbox Vector Tile blob (functions/mvt.py,
+        spec 2.1) — what a tile server returns for this tile. Pairs with
+        the warm serving path: ``enable_serving`` + ``get_tile(...).
+        to_mvt()`` answers an HTTP-shaped tile request with no Spark job.
+        Type-0 (EMPTY-geometry) features are internal accounting and are
+        not serialized."""
+        from geojson_vt_cpp_spark.functions import mvt as _mvt
+
+        feats = [
+            {
+                "type": ft["type"],
+                "parts": ft["parts"],
+                "tags": ft["tags"],
+                "id": ft["id"],
+                "id_kind": ft["id_kind"],
+            }
+            for ft in self.features
+            if ft["type"] > 0
+        ]
+        return _mvt.encode_tile([(layer_name, feats)], extent=extent)
+
 
 EMPTY_TILE = Tile(-1, 0, 0)  # canonical empty tile (geojsonvt.hpp:64)
 
