@@ -1,0 +1,127 @@
+"""Streaming incremental tile publishing: a 3-microbatch document stream
+through streaming/tiles.py must converge to the SAME published MVT blobs as
+the one-shot batch pipeline over the union corpus, and later batches must
+publish only their change set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_vt_cpp_spark.config import Options
+from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
+from geojson_vt_cpp_spark.operators.tile_export import tiles_to_mvt
+from geojson_vt_cpp_spark.sources.documents import documents_from_fixture
+from geojson_vt_cpp_spark.streaming.tiles import stream_documents_to_tiles
+
+from .golden_utils import load_fixture
+
+pytestmark = pytest.mark.spark
+
+OPTS = dict(index_max_zoom=4, index_max_points=100)
+
+
+def _staged_stream(spark, tmp_path, n_groups=3):
+    """us-states docs split into n deterministic groups, staged as one
+    parquet file each so maxFilesPerTrigger=1 yields one batch per group."""
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    src = str(tmp_path / "in")
+    groups = []
+    for i in range(n_groups):
+        g = docs.where(F.abs(F.hash("doc_id")) % n_groups == i)
+        groups.append(g)
+        g.coalesce(1).write.mode("overwrite").parquet(f"{src}/g{i}")
+    # one flat source dir: file-source streams one file per trigger
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(flat)
+    for i in range(n_groups):
+        (part,) = glob.glob(f"{src}/g{i}/part-*.parquet")
+        shutil.copy(part, f"{flat}/{i:03d}.parquet")
+    return docs, flat
+
+
+def _read_current(spark, publish_dir):
+    """Reference reader: latest row per tile across batches, removed rows
+    dropped -> the consumer's current tile cache."""
+    pub = spark.read.parquet(publish_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("z", "tx", "ty").orderBy(F.col("batch_id").desc())
+    return (
+        pub.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("change") != "removed"))
+        .select("z", "tx", "ty", "n_features", "n_bytes", "mvt")
+    )
+
+
+def test_stream_converges_to_batch_pipeline(spark, tmp_path):
+    docs, flat = _staged_stream(spark, tmp_path)
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    publish = str(tmp_path / "pub")
+    q, state = stream_documents_to_tiles(
+        stream, Options(**OPTS), publish, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    assert len(state["batches"]) == 3, state["batches"]
+
+    got = {
+        (r["z"], r["tx"], r["ty"]): (r["n_features"], bytes(r["mvt"]))
+        for r in _read_current(spark, publish).collect()
+        if r["n_features"] > 0
+    }
+    full = TilePyramid.from_documents(docs, Options(**OPTS))
+    want = {
+        (r["z"], r["tx"], r["ty"]): (r["n_features"], bytes(r["mvt"]))
+        for r in tiles_to_mvt(full.tile_features()).collect()
+    }
+    full.close()
+    state["pyramid"].close()
+    assert got == want  # byte-identical blobs, any batch arrival order
+
+
+def test_later_batches_publish_only_changes(spark, tmp_path):
+    docs, flat = _staged_stream(spark, tmp_path)
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    publish = str(tmp_path / "pub")
+    q, state = stream_documents_to_tiles(
+        stream, Options(**OPTS), publish, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    pub = spark.read.parquet(publish)
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in pub.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_batch) == {0, 1, 2}
+    total_tiles = pub.select("z", "tx", "ty").distinct().count()
+    # an incremental batch touches a strict subset of the pyramid
+    assert per_batch[1] < total_tiles or per_batch[2] < total_tiles
+    # batch rows are (added|modified|removed) only
+    kinds = {r["change"] for r in pub.select("change").distinct().collect()}
+    assert kinds <= {"added", "modified", "removed"}
+    # removed tombstones carry NULL blobs; live rows carry decodable blobs
+    assert pub.where(
+        (F.col("change") == "removed") & F.col("mvt").isNotNull()
+    ).count() == 0
+    from geojson_vt_cpp_spark.functions import mvt as M
+
+    sample = pub.where(F.col("mvt").isNotNull()).limit(5).collect()
+    for r in sample:
+        layers = M.decode_tile(bytes(r["mvt"]))
+        assert layers and layers[0]["name"] == "features"
+    state["pyramid"].close()
