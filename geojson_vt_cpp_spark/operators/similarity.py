@@ -172,9 +172,14 @@ def ivf_search_batch(
 
     # materialize the centroid table once: its lineage is the whole k-means
     # (crossJoin + window per iteration) and Spark re-inlines unmaterialized
-    # subtrees per reference (repo-wide convention, see operators/dedup.py)
-    # — n_centroids rows, so the checkpoint is KB-sized
-    centroids = centroids.localCheckpoint()
+    # subtrees per reference (repo-wide convention, see operators/dedup.py).
+    # persist(), not localCheckpoint: even a lazy (eager=False) checkpoint
+    # materializes the physical plan inside Dataset.checkpoint's withAction,
+    # which fires the lineage's broadcast-exchange jobs at PLAN-CONSTRUCTION
+    # time. persist() submits nothing until the first action, then the cache
+    # manager substitutes the cached subtree into every plan that embeds it
+    # (including the assignments lineage). n_centroids rows — KB-sized.
+    centroids = centroids.persist()
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(query_vec_col, lambda v: v.cast("double")).alias("query_vec"),
