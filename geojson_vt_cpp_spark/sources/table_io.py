@@ -236,7 +236,15 @@ class TableIO:
                 version += 1  # claimed by a concurrent writer (or retained)
 
         df = build()
-        writer = df.write.mode("overwrite")
+        # mode("append"), NOT "overwrite": the mkdir above is the version
+        # claim, and Spark's overwrite DELETES the target dir at job start —
+        # destroying the claim marker, so a concurrent writer that computed
+        # the same max+1 can re-mkdir the momentarily-missing path and both
+        # jobs interleave parquet files into one directory (observed: two
+        # file sets union when both deletes precede both commits). The
+        # claimed dir is exclusively ours and freshly empty, so append
+        # writes exactly this job's output and never drops the claim.
+        writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
