@@ -665,6 +665,32 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from documents
     """
 
+    # duplicate-n-gram repetition signals (the Gopher/Dolma-style quality
+    # filter): share of repeated char-8-grams and the single hottest gram's
+    # coverage — high values flag boilerplate/looping text for corpus
+    # filtering. Same shingle generator as the minhash family, so the
+    # 100 TB plan is one explode + two hash aggregates (partial+final),
+    # no self-join.
+    q["text_repetition"] = f"""
+        with g as (
+          select doc_id, substr(text, i, 8) as g {_shingles_from(d, n=8)}
+        ),
+        per_gram as (
+          select doc_id, g, count(*) as cnt from g group by doc_id, g
+        ),
+        stats as (
+          select doc_id,
+                 cast(sum(cnt) as bigint) as n_grams,
+                 cast(count(*) as bigint) as n_distinct,
+                 cast(max(cnt) as bigint) as top_gram_count
+          from per_gram group by doc_id
+        )
+        select doc_id, n_grams, n_distinct, top_gram_count,
+               round(1 - cast(n_distinct as double) / n_grams, 6) as dup_ratio,
+               round(cast(top_gram_count as double) / n_grams, 6) as top_gram_share
+        from stats
+    """
+
     # ---- similarity over embeddings -----------------------------------------
     elems = _vec_elems(d)
     # oracle form only: the global row_number window is what DuckDB needs for

@@ -177,6 +177,130 @@ class TableIO:
                 expired += 1
         return expired
 
+    # ----------------------------------------------------------- compaction
+
+    def compact(
+        self,
+        name: str,
+        target_file_rows: int = 1 << 20,
+        partition_by: tuple[str, ...] = (),
+    ) -> StageResult | None:
+        """Iceberg-style rewrite-data-files maintenance: rewrite the stage's
+        CURRENT snapshot into ``ceil(total_rows / target_file_rows)`` larger
+        files as a new snapshot version with IDENTICAL content.
+
+        The small-file problem is the dominant operational failure of
+        long-lived incremental tables at scale (every ``run_stage`` rewrite
+        or streaming microbatch appends its own file set; scans then pay
+        per-file open/footer costs and lose row-group pruning). Compaction
+        here mirrors Iceberg's ``rewriteDataFiles``:
+
+        - the logical ``snapshot_id`` is CARRIED OVER unchanged — it names
+          table content, which a compaction does not change — so downstream
+          stages whose manifests record this stage as an input still resume
+          without re-running;
+        - the rewrite claims a new version dir via the same atomic-mkdir
+          protocol as ``run_stage`` and verifies row-count equality before
+          committing;
+        - the commit is optimistic: if another writer published a different
+          snapshot between our read and our commit, the compaction ABORTS
+          (returns None, claimed dir removed) rather than regressing the
+          current pointer to stale content;
+        - the superseded small-file snapshot stays readable via
+          ``read_snapshot`` until ``expire_snapshots`` drops it.
+
+        Returns the new StageResult, or None when there is nothing to do
+        (already few enough files, no complete snapshot, or lost the race).
+        """
+        import math
+        import shutil
+
+        src = self.read_manifest(name)
+        if src is None:
+            snaps = self.snapshots(name)
+            src = snaps[-1] if snaps else None
+        if src is None:
+            return None
+        total = int(src["total_rows"])
+        want_files = max(1, math.ceil(total / max(target_file_rows, 1)))
+        if len(src.get("partitions", ())) <= want_files:
+            return None
+
+        os.makedirs(os.path.join(self.workdir, name), exist_ok=True)
+        snaps = self.snapshots(name)
+        version = self._version_of(snaps[-1]) + 1 if snaps else 0
+        while True:
+            data_dir = f"v{version:03d}"
+            path = os.path.join(self.workdir, name, data_dir)
+            try:
+                os.makedirs(path, exist_ok=False)
+                break
+            except FileExistsError:
+                version += 1
+
+        src_path = os.path.join(self.workdir, name, self._data_dir_of(src))
+        df = self.spark.read.parquet(src_path)
+        writer = df.repartition(want_files).write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+        out = self.spark.read.parquet(path)
+        per_file = [
+            {"file": r["file"], "rows": r["rows"]}
+            for r in out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        new_total = sum(p["rows"] for p in per_file)
+        if new_total != total:
+            shutil.rmtree(path, ignore_errors=True)
+            raise RuntimeError(
+                f"compact({name!r}): rewrite produced {new_total} rows, "
+                f"source snapshot has {total} — aborted, nothing committed"
+            )
+
+        with self._commit_lock(name):
+            cur = self.read_manifest(name)
+            if cur is not None and cur.get("snapshot_id") != src["snapshot_id"]:
+                # another writer committed new content since we read `src`:
+                # publishing our rewrite would point "current" at stale data
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+            cur_p = self._manifest_path(name)
+            try:
+                with open(cur_p) as f:
+                    cur_m = json.load(f)
+                os.replace(
+                    cur_p,
+                    os.path.join(
+                        self.workdir,
+                        name,
+                        f"_manifest.v{self._version_of(cur_m):03d}.json",
+                    ),
+                )
+            except FileNotFoundError:
+                pass
+            self._write_manifest(
+                name,
+                {
+                    "stage": name,
+                    "snapshot_id": src["snapshot_id"],  # content unchanged
+                    "version": version,
+                    "data_dir": data_dir,
+                    "inputs": src.get("inputs", []),
+                    "fingerprint": src.get("fingerprint", ""),
+                    "partitions": per_file,
+                    "total_rows": total,
+                    "compacted_from_version": self._version_of(src),
+                    "written_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "complete": True,
+                },
+            )
+        return StageResult(name, out, src["snapshot_id"], False, total)
+
     # --------------------------------------------------------------- stages
 
     def run_stage(

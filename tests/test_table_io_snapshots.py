@@ -170,3 +170,103 @@ def test_concurrent_writers_and_expiry_no_torn_state(spark, tmp_path):
         fingerprint=cur["fingerprint"],
     )
     assert r.resumed and r.rows == n_cur
+
+
+# ------------------------------------------------------------- compaction
+
+
+def _small_files_stage(io, n=40, nfiles=16, fp="fp-a"):
+    return io.run_stage(
+        "nums",
+        lambda: io.spark.range(n).selectExpr("id", "id * 2 as dbl")
+        .repartition(nfiles),
+        fingerprint=fp,
+    )
+
+
+def test_compact_rewrites_files_content_identical(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    r0 = _small_files_stage(io)
+    m0 = io.read_manifest("nums")
+    assert len(m0["partitions"]) == 16
+
+    res = io.compact("nums", target_file_rows=20)
+    assert res is not None and res.rows == 40
+    m1 = io.read_manifest("nums")
+    assert len(m1["partitions"]) == 2  # ceil(40/20)
+    assert m1["version"] == 1 and m1["compacted_from_version"] == 0
+    # logical snapshot id carried over: content unchanged
+    assert m1["snapshot_id"] == r0.snapshot_id
+    got = sorted(
+        (r["id"], r["dbl"]) for r in io.read_snapshot("nums").collect()
+    )
+    assert got == [(i, 2 * i) for i in range(40)]
+    # superseded small-file version still time-travels until expiry
+    assert io.read_snapshot("nums", 0).count() == 40
+    assert io.expire_snapshots("nums", keep=1) == 1
+
+
+def test_compact_preserves_downstream_resume(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    up = _small_files_stage(io)
+    down = io.run_stage(
+        "doubled",
+        lambda: io.read_snapshot("nums").selectExpr("id * 10 as ten"),
+        inputs=(up.snapshot_id,),
+        fingerprint="fp-d",
+    )
+    assert not down.resumed
+
+    assert io.compact("nums", target_file_rows=40) is not None
+    # upstream resume: unchanged (inputs, fingerprint) reads compacted data
+    r = _small_files_stage(io)
+    assert r.resumed and r.snapshot_id == up.snapshot_id
+    # downstream resume: recorded input snapshot id still matches
+    d2 = io.run_stage(
+        "doubled",
+        lambda: io.read_snapshot("nums").selectExpr("id * 10 as ten"),
+        inputs=(up.snapshot_id,),
+        fingerprint="fp-d",
+    )
+    assert d2.resumed and d2.snapshot_id == down.snapshot_id
+
+
+def test_compact_noop_when_files_already_large(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    _small_files_stage(io, nfiles=2)
+    assert io.compact("nums", target_file_rows=20) is None  # already 2 files
+    assert io.read_manifest("nums")["version"] == 0
+    assert io.compact("missing") is None
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    io = TableIO(spark, str(tmp_path / "wd"))
+    _small_files_stage(io, fp="fp-a")
+
+    # interleave: a writer publishes NEW content after compact() has read
+    # the source manifest but before its commit — simulated by swapping the
+    # snapshot in from inside the commit-lock acquisition
+    real_lock = io._commit_lock
+    fired = {}
+
+    def racing_lock(name):
+        if "done" not in fired:
+            fired["done"] = True
+            _small_files_stage(io, n=50, fp="fp-b")
+        return real_lock(name)
+
+    monkeypatch.setattr(io, "_commit_lock", racing_lock)
+    assert io.compact("nums", target_file_rows=100) is None
+    monkeypatch.undo()
+    cur = io.read_manifest("nums")
+    assert cur["fingerprint"] == "fp-b" and cur["total_rows"] == 50
+    assert io.read_snapshot("nums").count() == 50
+    # aborted rewrite left no claimed dir behind
+    import os
+
+    live = {io._data_dir_of(s) for s in io.snapshots("nums")}
+    on_disk = {
+        d for d in os.listdir(tmp_path / "wd" / "nums")
+        if d.startswith("v") and os.path.isdir(tmp_path / "wd" / "nums" / d)
+    }
+    assert on_disk == live
