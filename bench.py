@@ -434,7 +434,12 @@ def main() -> None:
             la = round(os.getloadavg()[0], 1)
         except OSError:
             la = None
-        r = _run_subprocess(sf_dir, cpus, 1)
+        # honor a caller-set corpus multiplier (the in-process leg path
+        # reads the same env var; hardcoding 1 here silently shrank the
+        # corpus for every leg while the caller believed otherwise)
+        r = _run_subprocess(
+            sf_dir, cpus, int(os.environ.get("SPARK_GRAFT_COPIES_MULT", "1"))
+        )
         r["loadavg_1m_at_start"] = la
         legs.append(r)
     best = max(legs, key=lambda r: r["rows_per_sec"])

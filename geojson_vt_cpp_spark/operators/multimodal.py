@@ -57,11 +57,11 @@ def synthesize_media_table(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """Codec slot: real pure-numpy decode for PNG and baseline JPEG
-    payloads (magic-byte dispatch); deterministic fake (payload-hash-
-    seeded) when ``fake=True``; NotImplementedError for formats whose
-    codecs are absent from this container (GIF/WebP/AVIF etc., and
-    progressive JPEG inside the JPEG codec itself).
+    """Codec slot: real pure-numpy decode for PNG (all legal depths +
+    Adam7) and JPEG (baseline AND progressive) payloads via magic-byte
+    dispatch; deterministic fake (payload-hash-seeded) when ``fake=True``;
+    NotImplementedError for formats whose codecs are absent from this
+    container (GIF/WebP/AVIF etc.).
 
     The real path always returns (h, w, 3): gray/gray+alpha/RGBA decode
     results are normalized to RGB (alpha dropped, gray broadcast) so every

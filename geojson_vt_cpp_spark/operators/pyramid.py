@@ -1086,10 +1086,17 @@ class TilePyramid:
                 md.row_group(g).column(pk_i).statistics
                 for g in range(md.num_row_groups)
             ]
-            if any(s is None for s in stats):
-                # no stats (writer config): probe-eligible for every key —
-                # correct, just unpruned for this file
-                fmin, fmax = -(1 << 62), 1 << 62
+            if any(s is None or not s.has_min_max for s in stats):
+                # no stats (writer config): read the key column once to get
+                # the REAL range. A sentinel full range would be wrong, not
+                # just unpruned — the probe bisects to exactly ONE file, so
+                # an overlapping range makes keys stored here resolve to a
+                # different file and probe empty.
+                import pyarrow.compute as _pc
+
+                col = _pq.read_table(fp, columns=["pk"]).column("pk")
+                fmin = _pc.min(col).as_py()
+                fmax = _pc.max(col).as_py()
             else:
                 fmin = min(s.min for s in stats)
                 fmax = max(s.max for s in stats)

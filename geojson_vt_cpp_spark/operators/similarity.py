@@ -137,6 +137,11 @@ def ivf_search(
     )
 
 
+# previous ivf_search_batch call's persisted centroid table (bounded-leak
+# eviction; see the persist comment inside the function)
+_LAST_BATCH_CENTROIDS: dict = {}
+
+
 def ivf_search_batch(
     assignments: DataFrame,
     centroids: DataFrame,
@@ -179,7 +184,15 @@ def ivf_search_batch(
     # time. persist() submits nothing until the first action, then the cache
     # manager substitutes the cached subtree into every plan that embeds it
     # (including the assignments lineage). n_centroids rows — KB-sized.
+    # The cache must outlive this call (the returned plan references it),
+    # so it can't be unpersisted here; evicting the PREVIOUS call's table
+    # bounds a long-lived session to one cached centroid table instead of
+    # one per call (same leak-class fix as TilePyramid cache invalidation).
+    prev = _LAST_BATCH_CENTROIDS.pop("df", None)
+    if prev is not None:
+        prev.unpersist()
     centroids = centroids.persist()
+    _LAST_BATCH_CENTROIDS["df"] = centroids
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(query_vec_col, lambda v: v.cast("double")).alias("query_vec"),

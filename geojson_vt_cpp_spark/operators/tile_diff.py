@@ -40,19 +40,13 @@ def tile_digests(tile_features: DataFrame) -> DataFrame:
     )
 
 
-def changed_tiles(old_tf: DataFrame, new_tf: DataFrame) -> DataFrame:
-    """(z, tx, ty, change) for every tile whose content differs between the
-    two versions — change in ('added', 'removed', 'modified'). Unchanged
-    tiles are absent, so the output size is the CHANGE set, not the
-    pyramid."""
-    o = tile_digests(old_tf).select(
-        "z", "tx", "ty",
-        F.col("digest").alias("old_digest"),
-    )
-    n = tile_digests(new_tf).select(
-        "z", "tx", "ty",
-        F.col("digest").alias("new_digest"),
-    )
+def changed_tiles_from_digests(old_d: DataFrame, new_d: DataFrame) -> DataFrame:
+    """``changed_tiles`` over precomputed digest tables — the single home of
+    the added/removed/modified classification (the streaming loop snapshots
+    the OLD digests before ``append`` invalidates the union, then calls
+    this form directly)."""
+    o = old_d.select("z", "tx", "ty", F.col("digest").alias("old_digest"))
+    n = new_d.select("z", "tx", "ty", F.col("digest").alias("new_digest"))
     j = o.join(n, ["z", "tx", "ty"], "full_outer")
     return j.select(
         "z", "tx", "ty",
@@ -65,3 +59,11 @@ def changed_tiles(old_tf: DataFrame, new_tf: DataFrame) -> DataFrame:
         | F.col("new_digest").isNull()
         | (F.col("old_digest") != F.col("new_digest"))
     )
+
+
+def changed_tiles(old_tf: DataFrame, new_tf: DataFrame) -> DataFrame:
+    """(z, tx, ty, change) for every tile whose content differs between the
+    two versions — change in ('added', 'removed', 'modified'). Unchanged
+    tiles are absent, so the output size is the CHANGE set, not the
+    pyramid."""
+    return changed_tiles_from_digests(tile_digests(old_tf), tile_digests(new_tf))

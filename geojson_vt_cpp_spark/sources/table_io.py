@@ -240,7 +240,15 @@ class TableIO:
 
         src_path = os.path.join(self.workdir, name, self._data_dir_of(src))
         df = self.spark.read.parquet(src_path)
-        writer = df.repartition(want_files).write.mode("append")
+        if partition_by:
+            # hash-cluster on the partition columns so each partition value
+            # lands in ONE task -> one file per value (plain round-robin
+            # repartition would write want_files x n_values files — more
+            # than the source, and compact() would rewrite forever)
+            out_df = df.repartition(want_files, *partition_by)
+        else:
+            out_df = df.repartition(want_files)
+        writer = out_df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -259,6 +267,13 @@ class TableIO:
                 f"compact({name!r}): rewrite produced {new_total} rows, "
                 f"source snapshot has {total} — aborted, nothing committed"
             )
+        if len(per_file) >= len(src["partitions"]):
+            # convergence guard: a rewrite that doesn't reduce the file
+            # count (e.g. a partitioned table already at one file per
+            # partition value) must not commit, or repeated maintenance
+            # calls would burn a full-table rewrite per cycle forever
+            shutil.rmtree(path, ignore_errors=True)
+            return None
 
         with self._commit_lock(name):
             cur = self.read_manifest(name)

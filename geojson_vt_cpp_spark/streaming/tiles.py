@@ -32,7 +32,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from geojson_vt_cpp_spark.config import Options
 from geojson_vt_cpp_spark.operators.pyramid import TilePyramid
-from geojson_vt_cpp_spark.operators.tile_diff import changed_tiles, tile_digests
+from geojson_vt_cpp_spark.operators.tile_diff import (
+    changed_tiles_from_digests,
+    tile_digests,
+)
 from geojson_vt_cpp_spark.operators.tile_export import tiles_to_mvt
 
 
@@ -86,23 +89,18 @@ def publish_changed_mvt(
     )
 
 
-def changed_tiles_from_digests(old_d: DataFrame, new_d: DataFrame) -> DataFrame:
-    """changed_tiles() but over precomputed digest tables (the streaming
-    loop snapshots the OLD digests before append invalidates the union)."""
-    o = old_d.select("z", "tx", "ty", F.col("digest").alias("old_digest"))
-    n = new_d.select("z", "tx", "ty", F.col("digest").alias("new_digest"))
-    j = o.join(n, ["z", "tx", "ty"], "full_outer")
-    return j.select(
-        "z", "tx", "ty",
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("removed"))
-        .otherwise(F.lit("modified"))
-        .alias("change"),
-    ).where(
-        F.col("old_digest").isNull()
-        | F.col("new_digest").isNull()
-        | (F.col("old_digest") != F.col("new_digest"))
-    )
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a just-written parquet dir from file footers (driver-
+    local metadata reads; no Spark job)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for fn in os.listdir(path):
+        if fn.endswith(".parquet"):
+            total += _pq.read_metadata(os.path.join(path, fn)).num_rows
+    return total
 
 
 def stream_documents_to_tiles(
@@ -120,7 +118,9 @@ def stream_documents_to_tiles(
     changed tiles' MVT blobs to ``publish_dir/batch_id=<N>`` (overwrite —
     idempotent under replay). Returns (query, state); ``state["pyramid"]``
     holds the live TilePyramid once the first batch lands, and
-    ``state["batches"]`` the per-batch change counts.
+    ``state["batches"][batch_id]`` the number of change rows that batch
+    published (counted driver-locally from the written files' parquet
+    footers — no extra Spark job).
 
     Consumers reconstruct the current tile set as: latest row per (z, tx,
     ty) across batch_ids, dropping 'removed' rows — see
@@ -142,10 +142,14 @@ def stream_documents_to_tiles(
             old_digests = tile_digests(pyr.tile_features()).localCheckpoint()
             pyr.append(docs_df=batch_df)
         out = publish_changed_mvt(
-            old_digests, pyr.tile_features(), layer_name=layer_name
+            old_digests,
+            pyr.tile_features(),
+            layer_name=layer_name,
+            extent=options.extent,  # blobs must declare the quantize extent
         )
-        out.write.mode("overwrite").parquet(f"{publish_dir}/batch_id={int(batch_id)}")
-        state["batches"][int(batch_id)] = None  # presence = batch published
+        bdir = f"{publish_dir}/batch_id={int(batch_id)}"
+        out.write.mode("overwrite").parquet(bdir)
+        state["batches"][int(batch_id)] = _parquet_dir_rows(bdir)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)

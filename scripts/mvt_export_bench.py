@@ -8,8 +8,10 @@ co-locating shuffle, so the two-size efficiency here isolates the operator
 from the pyramid's BFS floor.
 
 Run:  python3 scripts/mvt_export_bench.py [cpus ...]
-      (default legs: 2 8 — each in-process sequentially; for publishable
-      numbers run each leg in its own process per BENCH.md methodology)
+      (default legs: 2 8 — each leg runs in its OWN subprocess per the
+      BENCH.md methodology: the py4j JVM gateway outlives spark.stop(),
+      so in-process sequential legs would share JIT state and bias the
+      later leg)
 """
 
 from __future__ import annotations
@@ -79,11 +81,27 @@ def run_leg(cpus: int, mult: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+def _run_leg_subprocess(cpus: int, mult: int, sf_dir: str) -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_COPIES_MULT"] = str(mult)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = int(os.environ.get("SPARK_GRAFT_COPIES_MULT", "1"))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        print(json.dumps(run_leg(int(sys.argv[2]), mult, sf_dir)))
+        return
     cpu_legs = [int(a) for a in sys.argv[1:]] or [2, 8]
-    legs = [run_leg(c, mult, sf_dir) for c in cpu_legs]
+    legs = [_run_leg_subprocess(c, mult, sf_dir) for c in cpu_legs]
     out: dict = {"mode": "mvt-export", "legs": legs}
     by = {}
     for leg in legs:

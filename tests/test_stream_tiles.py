@@ -125,3 +125,47 @@ def test_later_batches_publish_only_changes(spark, tmp_path):
         layers = M.decode_tile(bytes(r["mvt"]))
         assert layers and layers[0]["name"] == "features"
     state["pyramid"].close()
+
+
+def test_stream_publishes_declared_extent_and_counts(spark, tmp_path):
+    """Non-default Options.extent must reach the published MVT layer header
+    (a consumer scales coordinates by the declared extent), and
+    state['batches'] must report each batch's published change-row count."""
+    docs, flat = _staged_stream(spark, tmp_path, n_groups=2)
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    publish = str(tmp_path / "pub")
+    q, state = stream_documents_to_tiles(
+        stream, Options(extent=8192, **OPTS), publish, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    from geojson_vt_cpp_spark.functions import mvt as M
+
+    pub = spark.read.parquet(publish)
+    sample = pub.where(F.col("mvt").isNotNull()).limit(5).collect()
+    assert sample
+    for r in sample:
+        (layer,) = M.decode_tile(bytes(r["mvt"]))
+        assert layer["extent"] == 8192
+    # quantized coordinates actually use the wider extent somewhere
+    coords = [
+        abs(c)
+        for r in pub.where(F.col("n_features") > 0).collect()
+        for f in M.decode_tile(bytes(r["mvt"]))[0]["features"]
+        for part in f["parts"]
+        for pt in part
+        for c in pt
+    ]
+    assert max(coords) > 4096
+
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in pub.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert state["batches"] == per_batch
+    state["pyramid"].close()

@@ -270,3 +270,31 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
         if d.startswith("v") and os.path.isdir(tmp_path / "wd" / "nums" / d)
     }
     assert on_disk == live
+
+
+def test_compact_partitioned_stage_converges(spark, tmp_path):
+    """partition_by compaction clusters on the partition columns (one file
+    per value) and the convergence guard makes the next call a noop instead
+    of an endless full-table rewrite per maintenance cycle."""
+    io = TableIO(spark, str(tmp_path / "wd"))
+    io.run_stage(
+        "part",
+        lambda: io.spark.range(40)
+        .selectExpr("id", "id % 4 as z")
+        .repartition(8),
+        fingerprint="fp",
+        partition_by=("z",),
+    )
+    n0 = len(io.read_manifest("part")["partitions"])
+    assert n0 > 4  # small-file state: up to 8 tasks x 4 values
+
+    r = io.compact("part", target_file_rows=40, partition_by=("z",))
+    assert r is not None and r.rows == 40
+    m1 = io.read_manifest("part")
+    assert len(m1["partitions"]) == 4  # one file per z value
+    # content identical, z layout preserved
+    got = sorted((x["id"], x["z"]) for x in io.read_snapshot("part").collect())
+    assert got == [(i, i % 4) for i in range(40)]
+    # second maintenance call: converged -> noop, no new version
+    assert io.compact("part", target_file_rows=40, partition_by=("z",)) is None
+    assert io.read_manifest("part")["version"] == m1["version"]
