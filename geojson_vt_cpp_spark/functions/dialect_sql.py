@@ -691,6 +691,54 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from stats
     """
 
+    # ---- spatial index range scan -------------------------------------------
+    # bbox retrieval THROUGH the cell index: cover cells at res 6 equi-join
+    # the points' cell ids (the partition-prunable index access path at
+    # scale — a range scan over Morton keys), then the exact bbox refine.
+    # DELIBERATE dialect asymmetry: the DuckDB oracle is the naive full-scan
+    # bbox filter, so the hash match PROVES the cover is complete and the
+    # refine exact — not merely that two engines computed one formula alike.
+    _rq = {
+        "x0": "cast('0.2' as double)", "x1": "cast('0.45' as double)",
+        "y0": "cast('0.3' as double)", "y1": "cast('0.6' as double)",
+    }
+    if d == "spark":
+        _cover_src = (
+            "(select explode(sequence(12, 28)) as ix) gx "
+            "cross join (select explode(sequence(19, 38)) as iy) gy"
+        )
+        # integer cell coords -> the cell id via the cell-center unit coord
+        _cov_cell = cell_id_sql(
+            "(gx.ix + cast('0.5' as double)) / cast(64 as double)",
+            "(gy.iy + cast('0.5' as double)) / cast(64 as double)", 6, d,
+        )
+        q["geo_cell_range_query"] = f"""
+            with pts as (
+              select c_custkey as point_id,
+                     {synth_px('c_custkey')} as px, {synth_py('c_custkey')} as py
+              from customer
+            ),
+            idx as (
+              select point_id, px, py, {cell_id_sql('px', 'py', 6, d)} as cell
+              from pts
+            ),
+            cover as (select {_cov_cell} as cell from {_cover_src})
+            select i.point_id, i.px, i.py
+            from idx i join cover c on i.cell = c.cell
+            where i.px >= {_rq['x0']} and i.px <= {_rq['x1']}
+              and i.py >= {_rq['y0']} and i.py <= {_rq['y1']}
+        """
+    else:
+        q["geo_cell_range_query"] = f"""
+            select c_custkey as point_id,
+                   {synth_px('c_custkey')} as px, {synth_py('c_custkey')} as py
+            from customer
+            where {synth_px('c_custkey')} >= {_rq['x0']}
+              and {synth_px('c_custkey')} <= {_rq['x1']}
+              and {synth_py('c_custkey')} >= {_rq['y0']}
+              and {synth_py('c_custkey')} <= {_rq['y1']}
+        """
+
     # ---- similarity over embeddings -----------------------------------------
     elems = _vec_elems(d)
     # oracle form only: the global row_number window is what DuckDB needs for

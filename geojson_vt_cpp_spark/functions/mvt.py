@@ -268,18 +268,24 @@ def _coerce_id(feature_id, id_kind: str | None):
     return None
 
 
-def encode_layer(
-    name: str,
-    features,
-    extent: int = 4096,
-) -> bytes:
-    """features: iterable of dicts with keys ``type`` (1/2/3), ``parts``
-    (list of point lists), ``tags`` (dict), optional ``id`` + ``id_kind``."""
+def encode_chunk(features) -> tuple[list, list, list, list, list]:
+    """Phase 1 of the parallel layer encoder: everything that does NOT
+    depend on the layer-global key/value dictionaries. Per feature the
+    geometry (the dominant encode cost) and id are finalized; tags are
+    kept as (key, value)-index pairs into the CHUNK-local first-appearance
+    dictionaries, to be remapped at assembly.
+
+    Returns (pres, posts, tag_ints, keys, values): per-feature byte pair
+    (id prefix / type+geometry suffix), per-feature local index pairs, and
+    the chunk dictionaries (values as encoded len-delimited Value bodies).
+    """
     keys: list[str] = []
     key_idx: dict[str, int] = {}
     values: list[bytes] = []
     value_idx: dict[bytes, int] = {}
-    feat_bufs: list[bytes] = []
+    pres: list[bytes] = []
+    posts: list[bytes] = []
+    tags_out: list[list[int]] = []
     for ft in features:
         tag_ints: list[int] = []
         for k, v in ft.get("tags", {}).items():
@@ -296,28 +302,86 @@ def encode_layer(
                 vi = value_idx[vb] = len(values)
                 values.append(vb)
             tag_ints.extend((ki, vi))
-        buf = bytearray()
+        pre = bytearray()
         fid = _coerce_id(ft.get("id"), ft.get("id_kind"))
         if fid is not None:
-            buf += _tag(1, 0) + _varint(fid)
-        if tag_ints:
-            packed = b"".join(_varint(t) for t in tag_ints)
-            buf += _tag(2, 2) + _varint(len(packed)) + packed
-        buf += _tag(3, 0) + _varint(int(ft["type"]))
+            pre += _tag(1, 0) + _varint(fid)
+        post = bytearray()
+        post += _tag(3, 0) + _varint(int(ft["type"]))
         geom = _encode_geometry(int(ft["type"]), ft["parts"])
-        buf += _tag(4, 2) + _varint(len(geom)) + geom
-        feat_bufs.append(bytes(buf))
+        post += _tag(4, 2) + _varint(len(geom)) + geom
+        pres.append(bytes(pre))
+        posts.append(bytes(post))
+        tags_out.append(tag_ints)
+    return pres, posts, tags_out, keys, values
+
+
+def assemble_layer(name: str, chunks, extent: int = 4096) -> bytes:
+    """Phase 2 of the parallel layer encoder: merge ordered chunk outputs
+    (from :func:`encode_chunk`) into one layer. Chunk dictionaries merge
+    in first-appearance order, so the result is BYTE-IDENTICAL to the
+    serial ``encode_layer`` over the concatenated feature sequence — any
+    chunking of the same ordered features yields the same bytes."""
+    gkeys: list[str] = []
+    gkey_idx: dict[str, int] = {}
+    gvalues: list[bytes] = []
+    gvalue_idx: dict[bytes, int] = {}
+    remaps: list[tuple[list[int], list[int]]] = []
+    for _pres, _posts, _tags, keys, values in chunks:
+        kmap: list[int] = []
+        for k in keys:
+            ki = gkey_idx.get(k)
+            if ki is None:
+                ki = gkey_idx[k] = len(gkeys)
+                gkeys.append(k)
+            kmap.append(ki)
+        vmap: list[int] = []
+        for vb in values:
+            vb = bytes(vb)
+            vi = gvalue_idx.get(vb)
+            if vi is None:
+                vi = gvalue_idx[vb] = len(gvalues)
+                gvalues.append(vb)
+            vmap.append(vi)
+        remaps.append((kmap, vmap))
     layer = bytearray()
     layer += _tag(15, 0) + _varint(2)  # version 2 first (writer convention)
     layer += _ld(1, name.encode("utf-8"))
-    for fb in feat_bufs:
-        layer += _ld(2, fb)
-    for k in keys:
+    for (pres, posts, tags, _k, _v), (kmap, vmap) in zip(chunks, remaps):
+        for pre, post, ti in zip(pres, posts, tags):
+            buf = bytearray(bytes(pre))
+            if len(ti):
+                packed = b"".join(
+                    _varint(kmap[t] if j % 2 == 0 else vmap[t])
+                    for j, t in enumerate(ti)
+                )
+                buf += _tag(2, 2) + _varint(len(packed)) + packed
+            buf += bytes(post)
+            layer += _ld(2, bytes(buf))
+    for k in gkeys:
         layer += _ld(3, k.encode("utf-8"))
-    for vb in values:
+    for vb in gvalues:
         layer += _tag(4, 2) + vb
     layer += _tag(5, 0) + _varint(extent)
     return bytes(layer)
+
+
+def encode_layer(
+    name: str,
+    features,
+    extent: int = 4096,
+) -> bytes:
+    """features: iterable of dicts with keys ``type`` (1/2/3), ``parts``
+    (list of point lists), ``tags`` (dict), optional ``id`` + ``id_kind``.
+    The serial form: one chunk through the two-phase encoder (the single
+    source of truth for the wire layout)."""
+    return assemble_layer(name, [encode_chunk(features)], extent=extent)
+
+
+def wrap_layer(layer: bytes) -> bytes:
+    """A finished layer message -> its tile-level framing (field 3); tiles
+    are the concatenation of framed layers."""
+    return _ld(3, layer)
 
 
 def encode_tile(layers: dict[str, list] | list[tuple[str, list]], extent: int = 4096) -> bytes:

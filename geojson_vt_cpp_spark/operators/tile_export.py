@@ -55,10 +55,45 @@ MVT_FEATURE_SCHEMA = T.StructType(
 )
 
 
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("pres", T.ArrayType(T.BinaryType())),
+        T.StructField("posts", T.ArrayType(T.BinaryType())),
+        T.StructField("tag_ints", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("vals", T.ArrayType(T.BinaryType())),
+    ]
+)
+
+
+def _rows_to_features(grp: pd.DataFrame) -> list[dict]:
+    feats = []
+    for row in grp.itertuples(index=False):
+        feats.append(
+            {
+                "type": int(row.out_type),
+                "parts": [
+                    list(zip((int(v) for v in xs), (int(v) for v in ys)))
+                    for xs, ys in zip(row.part_xs, row.part_ys)
+                ],
+                "tags": json.loads(row.props_json),
+                "id": row.feature_id,
+                "id_kind": row.id_kind,
+            }
+        )
+    return feats
+
+
 def tiles_to_mvt(
     tile_features: DataFrame,
     layer_name: str = "features",
     extent: int = 4096,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """TILE_FEATURES_SCHEMA rows -> one row per tile: (z, tx, ty,
     n_features, n_bytes, mvt binary).
@@ -66,10 +101,29 @@ def tiles_to_mvt(
     Feature order inside each blob is the engine's canonical emission order
     (SORT_KEYS — the same order the reference preserves), so the bytes are
     deterministic for a given pyramid.
+
+    ``chunk_rows`` enables INTRA-tile encode parallelism: features chunk
+    into runs of that many rows, chunks geometry-encode concurrently
+    (functions/mvt.py ``encode_chunk`` — the varint geometry walk is ~all
+    of the encode cost), and a per-tile assembly pass merges the chunk
+    dictionaries first-appearance and splices remapped tag indices —
+    byte-identical to the serial encode by construction (pytest-gated).
+    This matters because OVERVIEW tiles are not bounded by
+    ``index_max_points`` splitting: every input feature appears
+    (simplified) in the z0 tile, so at corpus scale the largest tile's
+    serial encode is the stage's long pole (measured: the bench fixture's
+    stacked corpus caps the default path at ~0.6 two-size efficiency —
+    BENCH.md "MVT export scaling"). Default None keeps the single-pass
+    plan (no window shuffle) for ordinary tile-size distributions.
     """
     cols = ["z", "tx", "ty", *codec.SORT_KEYS, "out_type", "is_multi",
             "part_xs", "part_ys", "poly_lens", "props_json", "feature_id",
             "id_kind"]
+    if chunk_rows:
+        return _tiles_to_mvt_chunked(
+            tile_features.where(F.col("out_type") > 0).select(*cols),
+            layer_name, extent, int(chunk_rows),
+        )
     src = (
         tile_features.where(F.col("out_type") > 0)
         .select(*cols)
@@ -84,20 +138,7 @@ def tiles_to_mvt(
         pdf = pdf.sort_values(["z", "tx", "ty", *codec.SORT_KEYS], kind="mergesort")
         out: list[dict] = []
         for (z, tx, ty), grp in pdf.groupby(["z", "tx", "ty"], sort=False):
-            feats = []
-            for row in grp.itertuples(index=False):
-                feats.append(
-                    {
-                        "type": int(row.out_type),
-                        "parts": [
-                            list(zip((int(v) for v in xs), (int(v) for v in ys)))
-                            for xs, ys in zip(row.part_xs, row.part_ys)
-                        ],
-                        "tags": json.loads(row.props_json),
-                        "id": row.feature_id,
-                        "id_kind": row.id_kind,
-                    }
-                )
+            feats = _rows_to_features(grp)
             blob = mvt.encode_tile([(layer_name, feats)], extent=extent)
             out.append(
                 {
@@ -112,6 +153,80 @@ def tiles_to_mvt(
         yield codec.rows_to_pdf(out, MVT_SCHEMA)
 
     return src.mapInPandas(kernel, MVT_SCHEMA)
+
+
+def _tiles_to_mvt_chunked(
+    src: DataFrame, layer_name: str, extent: int, chunk_rows: int
+) -> DataFrame:
+    """The intra-tile parallel plan: window row_number in canonical order
+    -> chunk id -> co-locate (tile, chunk) -> encode_chunk kernel (the
+    heavy geometry varint walk, parallel ACROSS chunks of one tile) ->
+    co-locate tile -> assemble_layer kernel (dict merge + tag splice +
+    byte concat only)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("z", "tx", "ty").orderBy(*codec.SORT_KEYS)
+    chunked = (
+        src.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "chunk", ((F.col("_rn") - F.lit(1)) / F.lit(chunk_rows)).cast("int")
+        )
+        .repartition("z", "tx", "ty", "chunk")
+    )
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["z", "tx", "ty", "chunk", "_rn"], kind="mergesort")
+        out: list[dict] = []
+        for (z, tx, ty, ck), grp in pdf.groupby(
+            ["z", "tx", "ty", "chunk"], sort=False
+        ):
+            pres, posts, tag_ints, keys, vals = mvt.encode_chunk(
+                _rows_to_features(grp)
+            )
+            out.append(
+                {
+                    "z": int(z), "tx": int(tx), "ty": int(ty), "chunk": int(ck),
+                    "n_features": len(pres),
+                    "pres": pres, "posts": posts,
+                    "tag_ints": [list(t) for t in tag_ints],
+                    "keys": keys, "vals": vals,
+                }
+            )
+        yield codec.rows_to_pdf(out, CHUNK_SCHEMA)
+
+    enc = chunked.mapInPandas(encode_kernel, CHUNK_SCHEMA).repartition(
+        "z", "tx", "ty"
+    )
+
+    def assemble_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["z", "tx", "ty", "chunk"], kind="mergesort")
+        out: list[dict] = []
+        for (z, tx, ty), grp in pdf.groupby(["z", "tx", "ty"], sort=False):
+            parts = [
+                (row.pres, row.posts, row.tag_ints, row.keys, row.vals)
+                for row in grp.itertuples(index=False)
+            ]
+            layer = mvt.assemble_layer(layer_name, parts, extent=extent)
+            blob = mvt.wrap_layer(layer)
+            out.append(
+                {
+                    "z": int(z), "tx": int(tx), "ty": int(ty),
+                    "n_features": int(grp["n_features"].sum()),
+                    "n_bytes": len(blob),
+                    "mvt": blob,
+                }
+            )
+        yield codec.rows_to_pdf(out, MVT_SCHEMA)
+
+    return enc.mapInPandas(assemble_kernel, MVT_SCHEMA)
 
 
 def geom_digest(parts: list[list[tuple[int, int]]]) -> str:

@@ -56,9 +56,10 @@ def run_leg(cpus: int, mult: int, sf_dir: str) -> dict:
         tf = pyr.tile_features()
         tf.count()  # materialize the pyramid outside the timed window
         # untimed warm-up of the export path (JIT/runner startup)
-        tiles_to_mvt(tf.limit(2000)).count()
+        chunk_rows = int(os.environ.get("SPARK_GRAFT_MVT_CHUNK_ROWS", "0")) or None
+        tiles_to_mvt(tf.limit(2000), chunk_rows=chunk_rows).count()
         t0 = time.time()
-        agg = tiles_to_mvt(tf).agg(
+        agg = tiles_to_mvt(tf, chunk_rows=chunk_rows).agg(
             F.count("*").alias("tiles"),
             F.sum("n_features").alias("features"),
             F.sum("n_bytes").cast("long").alias("bytes"),
@@ -73,6 +74,7 @@ def run_leg(cpus: int, mult: int, sf_dir: str) -> dict:
             "mvt_mb": round((agg["bytes"] or 0) / 1e6, 1),
             "features_per_sec": round((agg["features"] or 0) / dt, 1),
             "loadavg_1m": round(os.getloadavg()[0], 1),
+            "chunk_rows": chunk_rows,
         }
         pyr.close()
         docs.unpersist()

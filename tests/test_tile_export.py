@@ -111,3 +111,41 @@ def test_summary_matches_direct_decode(spark, pyr, mvt_rows):
 def test_empty_input_yields_no_rows(spark, pyr):
     empty = pyr.tile_features().where(F.lit(False))
     assert TE.tiles_to_mvt(empty).count() == 0
+
+
+def test_chunked_encode_byte_identical(pyr, mvt_rows):
+    """chunk_rows path (window -> chunk encode -> dict-merge assembly) must
+    reproduce the serial blobs BYTE-identically at a chunk size small
+    enough that every multi-feature tile splits."""
+    df = TE.tiles_to_mvt(pyr.tile_features(), chunk_rows=3)
+    got = {(r["z"], r["tx"], r["ty"]): r for r in df.collect()}
+    assert set(got) == set(mvt_rows)
+    for k, r in got.items():
+        assert r["n_features"] == mvt_rows[k]["n_features"], k
+        assert bytes(r["mvt"]) == bytes(mvt_rows[k]["mvt"]), k
+
+
+def test_encode_chunk_assembly_invariant_to_chunking():
+    """Pure-codec property: any chunking of the ordered feature list
+    assembles to the same bytes as the serial encoder (dict indices are
+    remapped to global first-appearance order)."""
+    feats = [
+        {
+            "type": 1 + (i % 3),
+            "parts": [[(i, i + 1), (i + 2, i)]] if i % 3 else [[(i, i)]],
+            "tags": {"name": f"n{i % 4}", "density": float(i % 5), "flag": i % 2 == 0},
+            "id": str(i),
+            "id_kind": "u64",
+        }
+        for i in range(23)
+    ]
+    want = mvt.encode_layer("L", feats)
+    for sizes in [(23,), (1,) * 23, (5, 5, 5, 5, 3), (10, 13), (22, 1)]:
+        chunks, pos = [], 0
+        for s in sizes:
+            chunks.append(mvt.encode_chunk(feats[pos:pos + s]))
+            pos += s
+        assert mvt.assemble_layer("L", chunks) == want, sizes
+    # decode sanity on the assembled form
+    (layer,) = mvt.decode_tile(mvt.wrap_layer(want))
+    assert len(layer["features"]) == 23 and layer["name"] == "L"
