@@ -208,6 +208,184 @@ def _encode_geometry(gtype: int, parts) -> bytes:
     return b"".join(_varint(c) for c in cmds)
 
 
+def _zigzag_np(d):
+    import numpy as np
+
+    d = d.astype(np.int64)
+    return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+
+
+def _varints_np(vals) -> tuple:
+    """Vectorized protobuf varint encoding of a uint64 array.
+
+    Returns (buf, nbytes): the concatenated varint bytes as a uint8 array
+    and the per-value byte length (for splitting the stream at feature
+    boundaries). ~10 masked passes over the array instead of a Python
+    loop per BYTE per value — the whole reason the MVT encode path can
+    keep up with the numpy quantize kernels feeding it."""
+    import numpy as np
+
+    v = vals.astype(np.uint64)
+    nbytes = np.ones(len(v), np.int64)
+    k = 1
+    while True:
+        over = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not over.any():
+            break
+        nbytes += over
+        k += 1
+    offs = np.empty(len(v) + 1, np.int64)
+    offs[0] = 0
+    np.cumsum(nbytes, out=offs[1:])
+    out = np.zeros(int(offs[-1]), np.uint8)
+    rem = v.copy()
+    starts = offs[:-1]
+    for j in range(k):
+        lane = nbytes > j
+        if not lane.any():
+            break
+        b = (rem[lane] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nbytes[lane] - 1) > j
+        out[starts[lane] + j] = b | (more.astype(np.uint8) << 7)
+        rem >>= np.uint64(7)
+    return out, nbytes
+
+
+def encode_geometries_np(gtypes, parts_x, parts_y) -> list[bytes]:
+    """Batch `_encode_geometry` for many features at once, fully
+    vectorized ACROSS features: every part of every feature flattens into
+    one coordinate array, ring closure / degenerate drops / cursor deltas
+    / command interleaving are index arithmetic, and ONE varint pass
+    (:func:`_varints_np`) encodes the whole chunk's command stream, split
+    back per feature by byte offsets. Byte-identical to the serial
+    encoder (pytest-gated over a randomized shape matrix) — per-feature
+    Python calls were the bottleneck, not the varint loop alone."""
+    import numpy as np
+
+    nfeat = len(gtypes)
+    if nfeat == 0:
+        return []
+    # ---- flatten the (feature, part) structure
+    part_arrays_x: list = []
+    part_arrays_y: list = []
+    part_feat_l: list[int] = []
+    for i, (pxs, pys) in enumerate(zip(parts_x, parts_y)):
+        for xs, ys in zip(pxs, pys):
+            part_arrays_x.append(np.asarray(xs, dtype=np.int64))
+            part_arrays_y.append(np.asarray(ys, dtype=np.int64))
+            part_feat_l.append(i)
+    nparts = len(part_arrays_x)
+    empty = [b""] * nfeat
+    if nparts == 0:
+        return empty
+    gt_arr = np.asarray([int(g) for g in gtypes], np.int64)
+    part_feat = np.asarray(part_feat_l, np.int64)
+    part_len = np.asarray([len(a) for a in part_arrays_x], np.int64)
+    part_gt = gt_arr[part_feat]
+    flat_x = (
+        np.concatenate(part_arrays_x) if part_len.sum() else np.empty(0, np.int64)
+    )
+    flat_y = (
+        np.concatenate(part_arrays_y) if part_len.sum() else np.empty(0, np.int64)
+    )
+    part_start = np.zeros(nparts + 1, np.int64)
+    np.cumsum(part_len, out=part_start[1:])
+
+    # ---- per-part effective length: closed polygon rings drop the
+    # redundant closing vertex (ClosePath carries it)
+    nonempty = part_len > 0
+    first_i = part_start[:-1].clip(max=max(len(flat_x) - 1, 0))
+    last_i = (part_start[1:] - 1).clip(min=0)
+    closing = (
+        (part_gt == GEOM_POLYGON)
+        & (part_len > 1)
+        & (flat_x[first_i] == flat_x[last_i])
+        & (flat_y[first_i] == flat_y[last_i])
+        & nonempty
+    )
+    eff_len = part_len - closing
+    valid = np.where(
+        part_gt == GEOM_POINT, eff_len > 0, eff_len >= 2
+    )  # degenerate line/ring: unrepresentable, drop the whole part
+
+    # ---- kept points (flat): local index < eff_len of a valid part
+    point_part = np.repeat(np.arange(nparts), part_len)
+    local_j = np.arange(len(flat_x)) - part_start[point_part]
+    keep = (local_j < eff_len[point_part]) & valid[point_part]
+    kx = flat_x[keep]
+    ky = flat_y[keep]
+    kpart = point_part[keep]
+    kj = local_j[keep]
+    if len(kx) == 0:
+        return empty
+    kfeat = part_feat[kpart]
+
+    # ---- cursor deltas: previous kept point, reset to (0,0) per feature
+    prev_x = np.empty_like(kx)
+    prev_y = np.empty_like(ky)
+    prev_x[0] = 0
+    prev_y[0] = 0
+    prev_x[1:] = kx[:-1]
+    prev_y[1:] = ky[:-1]
+    feat_first = np.empty(len(kx), bool)
+    feat_first[0] = True
+    feat_first[1:] = kfeat[1:] != kfeat[:-1]
+    prev_x[feat_first] = 0
+    prev_y[feat_first] = 0
+    zx = _zigzag_np(kx - prev_x)
+    zy = _zigzag_np(ky - prev_y)
+
+    # ---- output layout per kept part:
+    #   POINT:     [MoveTo|n<<3, zz pairs...]              -> 1 + 2n values
+    #   LINESTRING:[MoveTo|1, zz, zz, LineTo|(n-1), ...]   -> 2 + 2n
+    #   POLYGON:   ... + ClosePath                         -> 3 + 2n
+    is_pt = part_gt == GEOM_POINT
+    is_poly = part_gt == GEOM_POLYGON
+    out_len = np.where(
+        valid,
+        np.where(is_pt, 1 + 2 * eff_len, 2 + 2 * eff_len + is_poly),
+        0,
+    )
+    part_off = np.zeros(nparts + 1, np.int64)
+    np.cumsum(out_len, out=part_off[1:])
+    total = int(part_off[-1])
+    vals = np.zeros(total, np.uint64)
+    vp = np.arange(nparts)[valid]
+    off_v = part_off[:-1][valid]
+    # commands
+    vals[off_v[is_pt[valid]]] = (
+        (_CMD_MOVE_TO & 0x7) | (eff_len[vp[is_pt[valid]]] << 3)
+    ).astype(np.uint64)
+    line_v = vp[~is_pt[valid]]
+    line_off = part_off[:-1][line_v]
+    vals[line_off] = np.uint64((_CMD_MOVE_TO & 0x7) | (1 << 3))
+    vals[line_off + 3] = (
+        (_CMD_LINE_TO & 0x7) | ((eff_len[line_v] - 1) << 3)
+    ).astype(np.uint64)
+    poly_v = vp[is_poly[valid]]
+    vals[part_off[:-1][poly_v] + 2 + 2 * eff_len[poly_v]] = np.uint64(
+        (_CMD_CLOSE_PATH & 0x7) | (1 << 3)
+    )
+    # coordinates: position of local point j in its part's value run
+    pt_part_is_pt = is_pt[kpart]
+    pos = part_off[:-1][kpart] + np.where(
+        pt_part_is_pt, 1 + 2 * kj, 1 + 2 * kj + (kj > 0)
+    )
+    vals[pos] = zx
+    vals[pos + 1] = zy
+
+    # ---- one varint pass, split at feature byte boundaries
+    buf, nbytes = _varints_np(vals)
+    feat_val_counts = np.bincount(part_feat, weights=out_len, minlength=nfeat)
+    val_bounds = np.zeros(nfeat + 1, np.int64)
+    np.cumsum(feat_val_counts.astype(np.int64), out=val_bounds[1:])
+    byte_offs = np.zeros(total + 1, np.int64)
+    np.cumsum(nbytes, out=byte_offs[1:])
+    feat_bytes = byte_offs[val_bounds]
+    raw = buf.tobytes()
+    return [raw[feat_bytes[i] : feat_bytes[i + 1]] for i in range(nfeat)]
+
+
 def _decode_geometry(gtype: int, buf: bytes) -> list[list[tuple[int, int]]]:
     vals: list[int] = []
     pos = 0
@@ -309,6 +487,50 @@ def encode_chunk(features) -> tuple[list, list, list, list, list]:
         post = bytearray()
         post += _tag(3, 0) + _varint(int(ft["type"]))
         geom = _encode_geometry(int(ft["type"]), ft["parts"])
+        post += _tag(4, 2) + _varint(len(geom)) + geom
+        pres.append(bytes(pre))
+        posts.append(bytes(post))
+        tags_out.append(tag_ints)
+    return pres, posts, tags_out, keys, values
+
+
+def encode_chunk_arrays(
+    gtypes, ids, id_kinds, tags_list, parts_x, parts_y
+) -> tuple[list, list, list, list, list]:
+    """:func:`encode_chunk` over COLUMNAR feature data — part coordinate
+    arrays go straight from Arrow into the vectorized batch geometry
+    encoder (:func:`encode_geometries_np`) with no per-point Python.
+    Same return contract and bytes as ``encode_chunk``."""
+    geoms = encode_geometries_np(gtypes, parts_x, parts_y)
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+    pres: list[bytes] = []
+    posts: list[bytes] = []
+    tags_out: list[list[int]] = []
+    for gt, fid0, idk, tags, geom in zip(gtypes, ids, id_kinds, tags_list, geoms):
+        tag_ints: list[int] = []
+        for k, v in tags.items():
+            if v is None:
+                continue
+            ki = key_idx.get(k)
+            if ki is None:
+                ki = key_idx[k] = len(keys)
+                keys.append(k)
+            ev = _encode_value(v)
+            vb = _varint(len(ev)) + ev
+            vi = value_idx.get(vb)
+            if vi is None:
+                vi = value_idx[vb] = len(values)
+                values.append(vb)
+            tag_ints.extend((ki, vi))
+        pre = bytearray()
+        fid = _coerce_id(fid0, idk)
+        if fid is not None:
+            pre += _tag(1, 0) + _varint(fid)
+        post = bytearray()
+        post += _tag(3, 0) + _varint(int(gt))
         post += _tag(4, 2) + _varint(len(geom)) + geom
         pres.append(bytes(pre))
         posts.append(bytes(post))

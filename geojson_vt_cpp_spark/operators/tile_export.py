@@ -71,22 +71,25 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
-def _rows_to_features(grp: pd.DataFrame) -> list[dict]:
-    feats = []
-    for row in grp.itertuples(index=False):
-        feats.append(
-            {
-                "type": int(row.out_type),
-                "parts": [
-                    list(zip((int(v) for v in xs), (int(v) for v in ys)))
-                    for xs, ys in zip(row.part_xs, row.part_ys)
-                ],
-                "tags": json.loads(row.props_json),
-                "id": row.feature_id,
-                "id_kind": row.id_kind,
-            }
-        )
-    return feats
+def _encode_group_chunk(grp: pd.DataFrame):
+    """One co-located run of feature rows -> an ``encode_chunk`` tuple via
+    the columnar fast path: part coordinate arrays flow from Arrow into
+    the vectorized geometry encoder without per-point Python."""
+    memo: dict = {}  # props strings repeat across features — parse once
+    tags = []
+    for s in grp["props_json"]:
+        t = memo.get(s)
+        if t is None:
+            t = memo[s] = json.loads(s)
+        tags.append(t)
+    return mvt.encode_chunk_arrays(
+        grp["out_type"].to_numpy(),
+        grp["feature_id"].tolist(),
+        grp["id_kind"].tolist(),
+        tags,
+        grp["part_xs"].tolist(),
+        grp["part_ys"].tolist(),
+    )
 
 
 def tiles_to_mvt(
@@ -138,14 +141,16 @@ def tiles_to_mvt(
         pdf = pdf.sort_values(["z", "tx", "ty", *codec.SORT_KEYS], kind="mergesort")
         out: list[dict] = []
         for (z, tx, ty), grp in pdf.groupby(["z", "tx", "ty"], sort=False):
-            feats = _rows_to_features(grp)
-            blob = mvt.encode_tile([(layer_name, feats)], extent=extent)
+            chunk = _encode_group_chunk(grp)
+            blob = mvt.wrap_layer(
+                mvt.assemble_layer(layer_name, [chunk], extent=extent)
+            )
             out.append(
                 {
                     "z": int(z),
                     "tx": int(tx),
                     "ty": int(ty),
-                    "n_features": len(feats),
+                    "n_features": len(chunk[0]),
                     "n_bytes": len(blob),
                     "mvt": blob,
                 }
@@ -184,9 +189,7 @@ def _tiles_to_mvt_chunked(
         for (z, tx, ty, ck), grp in pdf.groupby(
             ["z", "tx", "ty", "chunk"], sort=False
         ):
-            pres, posts, tag_ints, keys, vals = mvt.encode_chunk(
-                _rows_to_features(grp)
-            )
+            pres, posts, tag_ints, keys, vals = _encode_group_chunk(grp)
             out.append(
                 {
                     "z": int(z), "tx": int(tx), "ty": int(ty), "chunk": int(ck),
