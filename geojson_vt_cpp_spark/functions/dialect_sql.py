@@ -367,6 +367,56 @@ def queries_sql(dialect: str) -> dict[str, str]:
         from exact e cross join mk k
     """
 
+    # KMV set-operation estimate: Jaccard from the merged sketch's overlap
+    # with both input sketches (rho = |M ∩ A ∩ B| / k), intersection =
+    # rho x union estimate — the sketch algebra that lets a planner answer
+    # overlap questions from per-partition sketches without re-scanning.
+    # Elements are (user, activity-day) pairs of two event types, which
+    # overlap PARTIALLY, so the estimate is non-trivial; exact rides along.
+    _kx = hh(f"concat('kmvx-', {ts('user_id')}, '|', {ts('cast(ts as date)')})")
+    q["sketch_kmv_intersection"] = f"""
+        with ea as (
+          select distinct {_kx} as h from events where event_type = 'click'
+        ),
+        eb as (
+          select distinct {_kx} as h from events where event_type = 'purchase'
+        ),
+        sa as (
+          select h from (
+            select h, row_number() over (order by h asc) as rn from ea
+          ) r where rn <= 64
+        ),
+        sb as (
+          select h from (
+            select h, row_number() over (order by h asc) as rn from eb
+          ) r where rn <= 64
+        ),
+        mr as (
+          select h, row_number() over (order by h asc) as rn
+          from (select distinct h
+                from (select h from sa union all select h from sb) u) m
+        ),
+        mk as (select max(h) as hk, count(*) as k_eff from mr where rn <= 64),
+        overlap as (
+          select count(*) as n_both
+          from mr join sa on sa.h = mr.h join sb on sb.h = mr.h
+          where mr.rn <= 64
+        ),
+        exact as (
+          select count(*) as n_exact
+          from (select h from ea intersect select h from eb) i
+        )
+        select cast(exact.n_exact as bigint) as n_exact,
+               cast(mk.k_eff as int) as k_used,
+               cast(overlap.n_both as int) as k_both,
+               round(cast(overlap.n_both as double) / mk.k_eff, 6) as jaccard_est,
+               round((cast(overlap.n_both as double) / mk.k_eff)
+                     * (cast(mk.k_eff - 1 as double)
+                        * cast(1152921504606846976 as double) / mk.hk), 2)
+                 as kmv_intersection_estimate
+        from exact cross join mk cross join overlap
+    """
+
     # ---- geo: cell index / tile codec over synthetic points ----------------
     px, py = synth_px("c_custkey"), synth_py("c_custkey")
     cells = ", ".join(
