@@ -227,8 +227,12 @@ def _varints_np(vals) -> tuple:
 
     v = vals.astype(np.uint64)
     nbytes = np.ones(len(v), np.int64)
+    if len(v) == 0:
+        return np.empty(0, np.uint8), nbytes
     k = 1
-    while True:
+    # k caps at 9: a uint64 needs at most 10 varint bytes, and the k=10
+    # threshold (1 << 70) would wrap in uint64 and loop forever
+    while k < 10:
         over = v >= (np.uint64(1) << np.uint64(7 * k))
         if not over.any():
             break
@@ -240,7 +244,7 @@ def _varints_np(vals) -> tuple:
     out = np.zeros(int(offs[-1]), np.uint8)
     rem = v.copy()
     starts = offs[:-1]
-    for j in range(k):
+    for j in range(int(nbytes.max())):
         lane = nbytes > j
         if not lane.any():
             break
@@ -281,13 +285,11 @@ def encode_geometries_np(gtypes, parts_x, parts_y) -> list[bytes]:
     gt_arr = np.asarray([int(g) for g in gtypes], np.int64)
     part_feat = np.asarray(part_feat_l, np.int64)
     part_len = np.asarray([len(a) for a in part_arrays_x], np.int64)
+    if part_len.sum() == 0:
+        return empty  # parts exist but hold no points: all-empty geometries
     part_gt = gt_arr[part_feat]
-    flat_x = (
-        np.concatenate(part_arrays_x) if part_len.sum() else np.empty(0, np.int64)
-    )
-    flat_y = (
-        np.concatenate(part_arrays_y) if part_len.sum() else np.empty(0, np.int64)
-    )
+    flat_x = np.concatenate(part_arrays_x)
+    flat_y = np.concatenate(part_arrays_y)
     part_start = np.zeros(nparts + 1, np.int64)
     np.cumsum(part_len, out=part_start[1:])
 
@@ -447,51 +449,32 @@ def _coerce_id(feature_id, id_kind: str | None):
 
 
 def encode_chunk(features) -> tuple[list, list, list, list, list]:
-    """Phase 1 of the parallel layer encoder: everything that does NOT
-    depend on the layer-global key/value dictionaries. Per feature the
-    geometry (the dominant encode cost) and id are finalized; tags are
-    kept as (key, value)-index pairs into the CHUNK-local first-appearance
-    dictionaries, to be remapped at assembly.
+    """Phase 1 of the parallel layer encoder over feature DICTS: unzips
+    them into the columnar form and delegates to
+    :func:`encode_chunk_arrays` (the single implementation of the tag
+    dictionaries and feature framing).
 
     Returns (pres, posts, tag_ints, keys, values): per-feature byte pair
     (id prefix / type+geometry suffix), per-feature local index pairs, and
     the chunk dictionaries (values as encoded len-delimited Value bodies).
     """
-    keys: list[str] = []
-    key_idx: dict[str, int] = {}
-    values: list[bytes] = []
-    value_idx: dict[bytes, int] = {}
-    pres: list[bytes] = []
-    posts: list[bytes] = []
-    tags_out: list[list[int]] = []
-    for ft in features:
-        tag_ints: list[int] = []
-        for k, v in ft.get("tags", {}).items():
-            if v is None:
-                continue
-            ki = key_idx.get(k)
-            if ki is None:
-                ki = key_idx[k] = len(keys)
-                keys.append(k)
-            ev = _encode_value(v)
-            vb = _varint(len(ev)) + ev  # len-delimited Value message body
-            vi = value_idx.get(vb)
-            if vi is None:
-                vi = value_idx[vb] = len(values)
-                values.append(vb)
-            tag_ints.extend((ki, vi))
-        pre = bytearray()
-        fid = _coerce_id(ft.get("id"), ft.get("id_kind"))
-        if fid is not None:
-            pre += _tag(1, 0) + _varint(fid)
-        post = bytearray()
-        post += _tag(3, 0) + _varint(int(ft["type"]))
-        geom = _encode_geometry(int(ft["type"]), ft["parts"])
-        post += _tag(4, 2) + _varint(len(geom)) + geom
-        pres.append(bytes(pre))
-        posts.append(bytes(post))
-        tags_out.append(tag_ints)
-    return pres, posts, tags_out, keys, values
+    import numpy as np
+
+    feats = list(features)
+    return encode_chunk_arrays(
+        [int(f["type"]) for f in feats],
+        [f.get("id") for f in feats],
+        [f.get("id_kind") for f in feats],
+        [f.get("tags", {}) for f in feats],
+        [
+            [np.asarray([p[0] for p in part], np.int64) for part in f["parts"]]
+            for f in feats
+        ],
+        [
+            [np.asarray([p[1] for p in part], np.int64) for part in f["parts"]]
+            for f in feats
+        ],
+    )
 
 
 def encode_chunk_arrays(

@@ -189,7 +189,9 @@ def ivf_search_batch(
     # bounds a long-lived session to one cached centroid table instead of
     # one per call (same leak-class fix as TilePyramid cache invalidation).
     prev = _LAST_BATCH_CENTROIDS.pop("df", None)
-    if prev is not None:
+    if prev is not None and prev is not centroids:
+        # same-index reuse must NOT evict: unpersisting the df we're about
+        # to re-persist would discard the built k-means cache every call
         prev.unpersist()
     centroids = centroids.persist()
     _LAST_BATCH_CENTROIDS["df"] = centroids

@@ -223,8 +223,18 @@ class TableIO:
             return None
         total = int(src["total_rows"])
         want_files = max(1, math.ceil(total / max(target_file_rows, 1)))
-        if len(src.get("partitions", ())) <= want_files:
+        nfiles = len(src.get("partitions", ()))
+        if nfiles <= want_files:
             return None
+        if partition_by:
+            # converged partitioned table = one file per partition-value
+            # dir; detect it from the manifest's file paths so a
+            # maintenance cycle is a true driver-side no-op (the
+            # post-rewrite guard below would still catch it, but only
+            # after paying the full rewrite)
+            parents = {os.path.dirname(p["file"]) for p in src["partitions"]}
+            if nfiles <= len(parents):
+                return None
 
         os.makedirs(os.path.join(self.workdir, name), exist_ok=True)
         snaps = self.snapshots(name)

@@ -93,7 +93,13 @@ def _run_leg_subprocess(cpus: int, mult: int, sf_dir: str) -> dict:
         [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)],
         env=env, capture_output=True, text=True, timeout=3600,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"leg local[{cpus}] failed (rc={out.returncode}): "
+            f"{out.stderr.strip()[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -301,3 +301,32 @@ def test_encode_chunk_arrays_matches_encode_chunk():
     )
     assert a == b
     assert M.assemble_layer("L", [a]) == M.assemble_layer("L", [b])
+
+
+def test_vectorized_encoder_empty_and_huge_delta_edges():
+    """All-empty parts must yield b'' per feature (serial parity, no
+    IndexError), and huge coordinate deltas must terminate with the same
+    multi-byte varints as the arbitrary-precision serial path."""
+    import numpy as np
+
+    from geojson_vt_cpp_spark.functions import mvt as M
+
+    e = np.array([], np.int64)
+    got = M.encode_geometries_np(
+        [M.GEOM_LINESTRING, M.GEOM_POINT], [[e], [e, e]], [[e], [e, e]]
+    )
+    assert got == [b"", b""]
+    assert M._encode_geometry(M.GEOM_LINESTRING, [[]]) == b""
+
+    big = [(0, 0), (1 << 40, -(1 << 40)), (-(1 << 41), 1 << 39)]
+    want = M._encode_geometry(M.GEOM_LINESTRING, [big])
+    (g,) = M.encode_geometries_np(
+        [M.GEOM_LINESTRING],
+        [[np.array([p[0] for p in big], np.int64)]],
+        [[np.array([p[1] for p in big], np.int64)]],
+    )
+    assert g == want
+
+    buf, nb = M._varints_np(np.array([0, 1, (1 << 64) - 1], np.uint64))
+    assert list(nb) == [1, 1, 10]
+    assert bytes(buf[2:]) == M._varint((1 << 64) - 1)
