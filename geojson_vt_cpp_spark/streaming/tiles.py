@@ -103,6 +103,44 @@ def _parquet_dir_rows(path: str) -> int:
     return total
 
 
+def _batch_processor(
+    options: Options, publish_dir: str, layer_name: str, state: dict
+):
+    """The foreachBatch body, built as a standalone closure so replay
+    semantics are directly testable. The sink is idempotent by
+    construction (per-batch overwrite dirs), but ``append`` MUTATES the
+    pyramid — an in-process microbatch redelivery (foreachBatch replays a
+    batch id after a recovery) must therefore be dropped here, or the
+    same documents would index twice."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in state["batches"]:
+            return  # replayed batch: pyramid already holds these docs
+        if batch_df.isEmpty():
+            return
+        pyr: TilePyramid | None = state["pyramid"]
+        if pyr is None:
+            old_digests = None
+            pyr = TilePyramid.from_documents(batch_df, options)
+            state["pyramid"] = pyr
+        else:
+            # snapshot OLD content digests before append invalidates the
+            # cached union (one row per tile — registry-bounded)
+            old_digests = tile_digests(pyr.tile_features()).localCheckpoint()
+            pyr.append(docs_df=batch_df)
+        out = publish_changed_mvt(
+            old_digests,
+            pyr.tile_features(),
+            layer_name=layer_name,
+            extent=options.extent,  # blobs must declare the quantize extent
+        )
+        bdir = f"{publish_dir}/batch_id={int(batch_id)}"
+        out.write.mode("overwrite").parquet(bdir)
+        state["batches"][int(batch_id)] = _parquet_dir_rows(bdir)
+
+    return process_batch
+
+
 def stream_documents_to_tiles(
     docs_stream: DataFrame,
     options: Options,
@@ -127,30 +165,7 @@ def stream_documents_to_tiles(
     tests/test_stream_tiles.py for the reference reader.
     """
     state: dict = {"pyramid": None, "batches": {}}
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        pyr: TilePyramid | None = state["pyramid"]
-        if pyr is None:
-            old_digests = None
-            pyr = TilePyramid.from_documents(batch_df, options)
-            state["pyramid"] = pyr
-        else:
-            # snapshot OLD content digests before append invalidates the
-            # cached union (one row per tile — registry-bounded)
-            old_digests = tile_digests(pyr.tile_features()).localCheckpoint()
-            pyr.append(docs_df=batch_df)
-        out = publish_changed_mvt(
-            old_digests,
-            pyr.tile_features(),
-            layer_name=layer_name,
-            extent=options.extent,  # blobs must declare the quantize extent
-        )
-        bdir = f"{publish_dir}/batch_id={int(batch_id)}"
-        out.write.mode("overwrite").parquet(bdir)
-        state["batches"][int(batch_id)] = _parquet_dir_rows(bdir)
-
+    process_batch = _batch_processor(options, publish_dir, layer_name, state)
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -169,3 +169,36 @@ def test_stream_publishes_declared_extent_and_counts(spark, tmp_path):
     }
     assert state["batches"] == per_batch
     state["pyramid"].close()
+
+
+def test_replayed_microbatch_is_dropped(spark, tmp_path):
+    """foreachBatch can redeliver a batch id after recovery; append would
+    index the same documents twice, so the processor must drop replays —
+    pyramid state and published sink must be unchanged by the rerun."""
+    import os
+
+    from geojson_vt_cpp_spark.streaming.tiles import _batch_processor
+
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    b0 = docs.where(F.abs(F.hash("doc_id")) % 2 == 0)
+    b1 = docs.where(F.abs(F.hash("doc_id")) % 2 == 1)
+    publish = str(tmp_path / "pub")
+    state = {"pyramid": None, "batches": {}}
+    proc = _batch_processor(Options(**OPTS), publish, "features", state)
+    proc(b0, 0)
+    proc(b1, 1)
+    total = state["pyramid"].total
+    counts = dict(state["batches"])
+    mtimes = {
+        d: os.path.getmtime(os.path.join(publish, d))
+        for d in os.listdir(publish)
+    }
+
+    proc(b1, 1)  # replay
+    assert state["pyramid"].total == total
+    assert state["batches"] == counts
+    assert {
+        d: os.path.getmtime(os.path.join(publish, d))
+        for d in os.listdir(publish)
+    } == mtimes  # sink untouched, not merely rewritten equal
+    state["pyramid"].close()
