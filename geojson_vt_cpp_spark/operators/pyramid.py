@@ -250,51 +250,61 @@ def quantize(assigned_df: DataFrame, options: Options) -> DataFrame:
             rows: list[dict] = []
             for row in iter_rows(pdf):
                 z = int(row["z"])
-                z2 = float(1 << z)
-                tol = 0.0 if z == max_zoom else base_tol / (z2 * extent)
-                g = codec.row_to_geom(row)
-                tf, nsimp = K.transform_tile(
-                    g, z2, int(row["tx"]), int(row["ty"]), extent, tol, lm
+                tol = 0.0 if z == max_zoom else base_tol / (float(1 << z) * extent)
+                out = quantize_one(
+                    row, codec.row_to_geom(row), z, int(row["tx"]),
+                    int(row["ty"]), extent, tol, lm,
                 )
-                if tf is None:
-                    if nsimp:
-                        # dropped feature with counted points cannot happen
-                        # (see transform_tile) but keep the accounting exact
-                        rows.append(_stat_only_row(row, nsimp))
-                    continue
-                props_json = row["props_json"]
-                if tf.metrics is not None:
-                    props = json.loads(props_json)
-                    # emplace semantics: do not overwrite existing keys
-                    props.setdefault("mapbox_clip_start", tf.metrics[0])
-                    props.setdefault("mapbox_clip_end", tf.metrics[1])
-                    props_json = json.dumps(props, sort_keys=True, separators=(",", ":"))
-                rows.append(
-                    {
-                        "z": z,
-                        "tx": int(row["tx"]),
-                        "ty": int(row["ty"]),
-                        "copy_tag": row["copy_tag"],
-                        "doc_id": row["doc_id"],
-                        "span_idx": row["span_idx"],
-                        "feature_idx": row["feature_idx"],
-                        "member_seq": row["member_seq"],
-                        "slice_path": row["slice_path"],
-                        "out_type": tf.out_type,
-                        "is_multi": tf.is_multi,
-                        "part_xs": [p[:, 0].tolist() for p in tf.parts],
-                        "part_ys": [p[:, 1].tolist() for p in tf.parts],
-                        "poly_lens": tf.poly_lens.tolist(),
-                        "props_json": props_json,
-                        "feature_id": row["feature_id"],
-                        "id_kind": row["id_kind"],
-                        "n_simplified": nsimp,
-                        "num_points": row["num_points"],
-                    }
-                )
+                if out is not None:
+                    rows.append(out)
             yield codec.rows_to_pdf(rows, codec.TILE_FEATURES_SCHEMA)
 
     return assigned_df.mapInPandas(kernel, codec.TILE_FEATURES_SCHEMA)
+
+
+def quantize_one(
+    row, g, z: int, tx: int, ty: int, extent: int, tol: float, lm: bool
+) -> dict | None:
+    """Quantize ONE assigned feature to its tile-feature output row (or a
+    stat-only row, or None when nothing is emitted). ``row`` supplies the
+    identity/props columns; ``g`` the geometry. Shared by the pyramid/one-
+    shot quantize kernels and the fused one-shot kernel so the emit logic
+    (metrics props, accounting) exists exactly once."""
+    tf, nsimp = K.transform_tile(g, float(1 << z), tx, ty, extent, tol, lm)
+    if tf is None:
+        if nsimp:
+            # dropped feature with counted points cannot happen
+            # (see transform_tile) but keep the accounting exact
+            return _stat_only_row(row, z, tx, ty, nsimp)
+        return None
+    props_json = row["props_json"]
+    if tf.metrics is not None:
+        props = json.loads(props_json)
+        # emplace semantics: do not overwrite existing keys
+        props.setdefault("mapbox_clip_start", tf.metrics[0])
+        props.setdefault("mapbox_clip_end", tf.metrics[1])
+        props_json = json.dumps(props, sort_keys=True, separators=(",", ":"))
+    return {
+        "z": z,
+        "tx": tx,
+        "ty": ty,
+        "copy_tag": row["copy_tag"],
+        "doc_id": row["doc_id"],
+        "span_idx": row["span_idx"],
+        "feature_idx": row["feature_idx"],
+        "member_seq": row["member_seq"],
+        "slice_path": row["slice_path"],
+        "out_type": tf.out_type,
+        "is_multi": tf.is_multi,
+        "part_xs": [p[:, 0].tolist() for p in tf.parts],
+        "part_ys": [p[:, 1].tolist() for p in tf.parts],
+        "poly_lens": tf.poly_lens.tolist(),
+        "props_json": props_json,
+        "feature_id": row["feature_id"],
+        "id_kind": row["id_kind"],
+        "n_simplified": nsimp,
+        "num_points": row["num_points"],
+    }
 
 
 def _rows_to_features(rows) -> tuple[list, int]:
@@ -324,9 +334,9 @@ def _rows_to_features(rows) -> tuple[list, int]:
     return feats, nsimp
 
 
-def _stat_only_row(row: dict, nsimp: int) -> dict:
+def _stat_only_row(row: dict, z: int, tx: int, ty: int, nsimp: int) -> dict:
     return {
-        "z": int(row["z"]), "tx": int(row["tx"]), "ty": int(row["ty"]),
+        "z": z, "tx": tx, "ty": ty,
         "copy_tag": row["copy_tag"], "doc_id": row["doc_id"],
         "span_idx": row["span_idx"], "feature_idx": row["feature_idx"],
         "member_seq": row["member_seq"], "slice_path": row["slice_path"],
@@ -415,7 +425,21 @@ class TilePyramid:
             self._prev_snap = base.snapshot_id
             self._build(base.df)
             return
-        features_df = features_df.repartition(self._n_parts).localCheckpoint()
+        import time as _time
+
+        _t0 = _time.time()
+        # lazy (eager=False) localCheckpoint: wrap's deciding aggregate (or
+        # the z0 stats aggregate) is the materializing action, so the cache
+        # write fuses into the consumer instead of paying a separate
+        # whole-plan checkpoint job. RDD-level storage (NOT DataFrame
+        # .persist(), whose CacheManager entry would outlive the pyramid in
+        # a long-lived session): the ContextCleaner releases the blocks
+        # when the level DataFrames are garbage collected.
+        features_df = features_df.repartition(self._n_parts).localCheckpoint(
+            eager=False
+        )
+        self._phase_log("base checkpoint (lazy)", _t0)
+        _t0 = _time.time()
         feats = (
             features_df
             if pre_wrapped
@@ -423,7 +447,11 @@ class TilePyramid:
                 features_df, self.o.buffer / self.o.extent, self.o.line_metrics
             )
         )
-        self._build(feats)
+        self._phase_log("wrap", _t0)
+        # wrap returning its input unchanged (no dateline features) means the
+        # base is already round-robin balanced AND materialized — z0 can skip
+        # its redundant full-payload reshuffle + rematerialization
+        self._build(feats, base_balanced=feats is features_df)
 
     @classmethod
     def from_documents(cls, docs_df: DataFrame, options: Options | None = None,
@@ -448,7 +476,20 @@ class TilePyramid:
         self.stats[z] = self.stats.get(z, 0) + 1
         return m
 
-    def _build(self, feats: DataFrame) -> None:
+    @staticmethod
+    def _phase_log(msg: str, t0: float) -> None:
+        """Env-gated phase timing (SPARK_GRAFT_PHASE_LOG=1): wall seconds
+        since ``t0`` to stderr — measurement aid, no behavior change."""
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        if _os.environ.get("SPARK_GRAFT_PHASE_LOG"):
+            print(f"[pyr-phase] {msg}: {_time.time() - t0:.3f}s", file=_sys.stderr)
+
+    def _build(self, feats: DataFrame, base_balanced: bool = False) -> None:
+        import time as _time
+
         o = self.o
         assigned = feats.select(
             F.lit(0).alias("z"),
@@ -459,6 +500,7 @@ class TilePyramid:
         visit = {(0, 0)}
         z = 0
         while True:
+            _pt0 = _time.time()
             # full round-robin repartition, not coalesce: assignments are
             # spatially skewed and coalesce would carry that skew into every
             # downstream kernel task (straggler-bound wall time); the shuffle
@@ -475,8 +517,25 @@ class TilePyramid:
                 )
                 assigned = res.df
                 self._prev_snap = res.snapshot_id
+            elif z == 0 and base_balanced:
+                # the z0 rows are a narrow projection of the already
+                # round-robin-balanced persisted base — a second
+                # full-payload shuffle + rematerialization buys nothing
+                pass
             else:
-                assigned = assigned.repartition(self._n_parts).localCheckpoint()
+                # lazy checkpoint, materialized by the stats aggregate
+                # below: the level's kernel+shuffle output is written to
+                # block storage inside the aggregate's reduce stage (one
+                # fused pass) instead of an eager-checkpoint job followed
+                # by a cache-scan aggregate job. RDD-level blocks are
+                # ContextCleaner-managed, so dropped pyramids free them;
+                # the workdir/TableIO branch above stays the
+                # reliable-checkpoint cluster path.
+                assigned = assigned.repartition(self._n_parts).localCheckpoint(
+                    eager=False
+                )
+            self._phase_log(f"z{z} split (lazy)", _pt0)
+            _pt0 = _time.time()
             self._level_assigned[z] = assigned
             if not isinstance(visit, set) or len(visit) > self._driver_stats_max:
                 # big level: stop conditions evaluate from the aggregate
@@ -524,6 +583,7 @@ class TilePyramid:
                     for dx in (0, 1)
                     for dy in (0, 1)
                 }
+            self._phase_log(f"z{z} agg+decide (materializes level)", _pt0)
             assigned = split_children(split_df, o.buffer, o.extent, o.line_metrics)
             z += 1
 
@@ -828,9 +888,11 @@ class TilePyramid:
             # a 43k-row traversal without this
             est_rows = 2 * sum(self.meta[k].rows for k in active)
             union = union.repartition(self._size_parts(est_rows))
+            # lazy checkpoint, materialized by the stats aggregate below:
+            # the drill round's cache write fuses into the stats job
             children = split_children(
                 union, o.buffer, o.extent, o.line_metrics
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             self._extra_assigned.append(children)
             self._invalidate_tile_features()  # invalidate union cache
             _t1 = _time.time()

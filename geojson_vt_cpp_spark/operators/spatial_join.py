@@ -37,6 +37,7 @@ Design:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -168,17 +169,25 @@ def ray_cast_np(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.n
 
 
 def _polygon_edges(polys_keyed: DataFrame) -> DataFrame:
-    """(poly_sk, e_xi, e_yi, e_xj, e_yj) — one row per ring edge, including
-    the ring wrap edge (degenerate for explicitly-closed rings, harmless in
-    the crossing test). One Arrow pass over the SMALL polygon side; the hot
-    candidate join never touches Python."""
-    schema = "poly_sk long, e_xi double, e_yi double, e_xj double, e_yj double"
+    """(poly_sk, e_xi, e_yi, e_xj, e_yj, p_miny, p_maxy) — one row per ring
+    edge, carrying the polygon's y-extent for strip bucketing. Horizontal
+    edges (e_yi == e_yj, including the degenerate wrap edge of explicitly
+    closed rings) are dropped here: the even-odd test's ``y_between``
+    predicate is identically false for them, so they can never contribute a
+    crossing — shipping them to the candidate join is pure overhead. One
+    Arrow pass over the SMALL polygon side; the hot candidate join never
+    touches Python."""
+    schema = (
+        "poly_sk long, e_xi double, e_yi double, e_xj double, e_yj double, "
+        "p_miny double, p_maxy double"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for sk_v, xs_v, ys_v, pl_v in zip(
-                pdf["poly_sk"], pdf["xs"], pdf["ys"], pdf["part_lens"]
+            for sk_v, xs_v, ys_v, pl_v, mny, mxy in zip(
+                pdf["poly_sk"], pdf["xs"], pdf["ys"], pdf["part_lens"],
+                pdf["miny"], pdf["maxy"],
             ):
                 xs = np.asarray(xs_v, dtype=np.float64)
                 ys = np.asarray(ys_v, dtype=np.float64)
@@ -190,19 +199,49 @@ def _polygon_edges(polys_keyed: DataFrame) -> DataFrame:
                         ry = ys[off:off + n]
                         xi = np.roll(rx, 1)
                         yi = np.roll(ry, 1)
-                        out.append(
-                            pd.DataFrame({
-                                "poly_sk": np.full(n, sk_v, dtype=np.int64),
-                                "e_xi": xi, "e_yi": yi, "e_xj": rx, "e_yj": ry,
-                            })
-                        )
+                        keep = yi != ry  # horizontal edges never cross
+                        if keep.any():
+                            m = int(keep.sum())
+                            out.append(
+                                pd.DataFrame({
+                                    "poly_sk": np.full(m, sk_v, dtype=np.int64),
+                                    "e_xi": xi[keep], "e_yi": yi[keep],
+                                    "e_xj": rx[keep], "e_yj": ry[keep],
+                                    "p_miny": np.full(m, mny),
+                                    "p_maxy": np.full(m, mxy),
+                                })
+                            )
                     off += n
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return polys_keyed.select("poly_sk", "xs", "ys", "part_lens").mapInPandas(
-        kernel, schema
-    )
+    return polys_keyed.select(
+        "poly_sk", "xs", "ys", "part_lens", "miny", "maxy"
+    ).mapInPandas(kernel, schema)
+
+
+# strips per polygon bbox for the parity join (see _strip_of): each candidate
+# point joins only the edges whose y-interval reaches its strip — cuts the
+# candidatesxedges fan-out by roughly the strip count for typical outlines
+# (an edge spans few strips; 16 keeps replication ~1.5x while dividing the
+# per-candidate edge fan-out by an order of magnitude)
+PIP_Y_STRIPS = int(os.environ.get("SPARK_GRAFT_PIP_STRIP_N", "16"))
+
+
+def _strip_of(y: Column, miny: Column, maxy: Column, s: int = PIP_Y_STRIPS) -> Column:
+    """Strip index of ``y`` within [miny, maxy], clamped to [0, s-1].
+
+    The SAME expression shape must be used for candidate points and edge
+    endpoints: floor(((y - miny) * s) / h) is monotone in y for h > 0 under
+    IEEE arithmetic (subtraction, multiplication by a positive constant,
+    division by a positive constant and floor are all monotone), so an edge
+    whose y-interval contains a point's y always lands on the point's strip
+    — the strip join loses no crossing edge and the parity is exact.
+    """
+    h = maxy - miny
+    raw = F.floor(((y - miny) * F.lit(float(s))) / h)
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(s - 1))
+    return F.when(h > 0, clamped).otherwise(F.lit(0)).cast("int")
 
 
 def point_in_polygon_join(
@@ -248,7 +287,8 @@ def point_in_polygon_join(
         polys.select(sk, "minx", "miny", "maxx", "maxy"), resolutions
     ).select("poly_sk", "res", "cell", "minx", "miny", "maxx", "maxy")
     polys_keyed = polys.select(
-        F.xxhash64(*id_cols).alias("poly_sk"), *id_cols, *attr_cols, *geom_cols
+        F.xxhash64(*id_cols).alias("poly_sk"), *id_cols, *attr_cols, *geom_cols,
+        "miny", "maxy",
     )
 
     pts = point_cells(points_df.select(pid, xcol, ycol), resolutions, xcol, ycol)
@@ -263,6 +303,11 @@ def point_in_polygon_join(
 
     right = F.broadcast(cover) if broadcast else cover
     cand_cols = [pid, xcol, ycol, "poly_sk"] + (["salt"] if salt > 1 else [])
+    # "strip" is the candidate's y-strip within its polygon's bbox — the
+    # native parity join keys on it (poly_sk, strip) so each candidate only
+    # meets the edges whose y-interval can actually contain its y (the
+    # bbox prune guarantees ycol is inside [miny, maxy] here, so the strip
+    # expression sees only in-range values)
     cand = (
         pts.join(right, keys, "inner")
         # exact bbox prune in codegen before any Python crossing
@@ -270,7 +315,10 @@ def point_in_polygon_join(
             (F.col(xcol) >= F.col("minx")) & (F.col(xcol) <= F.col("maxx"))
             & (F.col(ycol) >= F.col("miny")) & (F.col(ycol) <= F.col("maxy"))
         )
-        .select(*cand_cols)
+        .select(
+            *cand_cols,
+            _strip_of(F.col(ycol), F.col("miny"), F.col("maxy")).alias("strip"),
+        )
     )
 
     pid_type = points_df.schema[pid].dataType.simpleString()
@@ -292,9 +340,10 @@ def point_in_polygon_join(
         return rings
 
     if broadcast:
+        cand = cand.drop("strip")  # the Arrow kernel refines per polygon
         # geometry as a broadcast dict keyed on the surrogate; the
         # refinement is a pure narrow mapInPandas — zero shuffles end to end
-        geo_rows = polys_keyed.collect()
+        geo_rows = polys_keyed.drop("miny", "maxy").collect()
         bc = points_df.sparkSession.sparkContext.broadcast(
             {
                 r["poly_sk"]: (
@@ -341,7 +390,29 @@ def point_in_polygon_join(
         # the hot path at all — whole-stage codegen end to end; the
         # per-group applyInPandas framing cost (measured ~23s for 41k groups
         # at this bench scale) disappears.
-        edges = _polygon_edges(polys_keyed)
+        # edges explode into the y-strips their interval spans (monotone
+        # strip mapping, see _strip_of): the parity join keys on
+        # (poly_sk, strip), so a candidate meets ~E/strips edges instead of
+        # all E edges of its polygon — the candidatesxedges fan-out (the
+        # dominant row count of this whole operator) drops by roughly the
+        # strip count for modest edge replication
+        use_strips = os.environ.get("SPARK_GRAFT_PIP_STRIPS", "1") != "0"
+        raw_edges = _polygon_edges(polys_keyed)
+        lo = F.least(F.col("e_yi"), F.col("e_yj"))
+        hi = F.greatest(F.col("e_yi"), F.col("e_yj"))
+        if use_strips:
+            edges = raw_edges.withColumn(
+                "strip",
+                F.explode(
+                    F.sequence(
+                        _strip_of(lo, F.col("p_miny"), F.col("p_maxy")),
+                        _strip_of(hi, F.col("p_miny"), F.col("p_maxy")),
+                    )
+                ),
+            ).drop("p_miny", "p_maxy")
+        else:
+            edges = raw_edges.drop("p_miny", "p_maxy")
+        jkeys = ["poly_sk", "strip"] if use_strips else ["poly_sk"]
         if broadcast_edges is None:
             n_edges = polys.agg(
                 F.sum(F.size("xs")).alias("n")
@@ -352,17 +423,19 @@ def point_in_polygon_join(
         y_between = (yi > pyc) != (yj > pyc)
         x_cross = (xj - xi) * (pyc - yi) / (yj - yi) + xi
         crossing = (y_between & (pxc < x_cross)).cast("int")
+        if not use_strips:
+            cand = cand.drop("strip")
         if broadcast_edges:
-            joined = cand.join(F.broadcast(edges), "poly_sk")
+            joined = cand.join(F.broadcast(edges), jkeys)
         elif salt > 1:
             # keep the skew split through the refinement: replicate edges
             # per salt bucket so each hot polygon's candidates stay spread
             edges = edges.withColumn(
                 "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
             )
-            joined = cand.join(edges, ["poly_sk", "salt"])
+            joined = cand.join(edges, jkeys[:1] + ["salt"] + jkeys[1:])
         else:
-            joined = cand.join(edges, "poly_sk")
+            joined = cand.join(edges, jkeys)
         hits = (
             joined.groupBy(pid, xcol, ycol, "poly_sk")
             .agg(F.sum(crossing).alias("n_cross"))
@@ -392,8 +465,8 @@ def point_in_polygon_join(
         return sel[out_cols]
 
     return (
-        cand.groupby("poly_sk")
-        .cogroup(polys_keyed.groupby("poly_sk"))
+        cand.drop("strip").groupby("poly_sk")
+        .cogroup(polys_keyed.drop("miny", "maxy").groupby("poly_sk"))
         .applyInPandas(cogroup_kernel, out_schema)
     )
 
@@ -488,21 +561,27 @@ def knn_join(
     w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(), F.col(sid).asc())
     # materialize the ranked candidates once: cert, the certified output and
     # the straggler set all read it — without this the neighborhood join +
-    # window would recompute for each consumer
+    # window would recompute for each consumer. eager=False: the checkpoint
+    # write fuses into the first consuming job (cert / the isEmpty gate)
+    # instead of paying a separate whole-plan checkpoint job; under AQE the
+    # upstream shuffle stages still run at construction, but the result
+    # stage (the expensive window pass over every candidate) runs once,
+    # inside the consumer.
     ranked = (
         cand.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     safe2 = (ring * cell_size) ** 2
     # materialized once: good, the straggler probe, AND the auto-fallback
     # isEmpty gate all read cert — without this each consumer re-runs the
-    # certification aggregate over the ranked checkpoint
+    # certification aggregate over the ranked checkpoint (lazy for the same
+    # job-fusion reason; KB-sized per-query rows)
     cert = ranked.groupBy(qid).agg(
         F.count("*").alias("n_cand"), F.max("dist2").alias("kth_d2")
     ).withColumn(
         "certified", (F.col("n_cand") >= k) & (F.col("kth_d2") < safe2)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     good = ranked.join(cert.where("certified").select(qid), qid, "inner")
 
     # stragglers: uncertified queries plus queries with zero candidates
@@ -548,7 +627,7 @@ def knn_join(
         ).select(qid, qx, qy, "ix", "iy")
 
     parts = [good]
-    pending = bad_q.localCheckpoint()
+    pending = bad_q.localCheckpoint(eager=False)
     r = ring
     while not pending.isEmpty():
         r *= 2
@@ -558,7 +637,7 @@ def knn_join(
             .select(qid, qx, qy, sid, d2.alias("dist2"))
             .withColumn("knn_rank", F.row_number().over(w))
             .where(F.col("knn_rank") <= k)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if r >= n:  # ring covers the grid: exhaustive, exact by construction
             parts.append(ranked_r)
@@ -569,7 +648,7 @@ def knn_join(
             (F.col("n_cand") >= k) & (F.col("kth_d2") < F.lit((r * cell_size) ** 2))
         ).select(qid)
         parts.append(ranked_r.join(cert_r, qid, "inner"))
-        pending = pending.join(cert_r, qid, "left_anti").localCheckpoint()
+        pending = pending.join(cert_r, qid, "left_anti").localCheckpoint(eager=False)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
