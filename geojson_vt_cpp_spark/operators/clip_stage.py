@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from geojson_vt_cpp_spark.functions import kernels as K
 from geojson_vt_cpp_spark.operators import codec
@@ -51,8 +52,23 @@ def _emit_clipped(row: dict, geoms, line_metrics: bool) -> list[dict]:
 def clip_fixed_window(features_df, axis: int, k1: float, k2: float,
                       line_metrics: bool):
     """Clip every feature to one fixed slab [k1, k2) — used by wrap and the
-    one-shot tile path, where the window does not depend on the row."""
+    one-shot tile path, where the window does not depend on the row.
+
+    Trivially accepted rows (``min >= k1 and max < k2`` on the clip axis —
+    the exact predicate ``kernels.clip_feature`` applies, including the
+    inverted-bbox empty sentinel) pass through NATIVELY, and trivially
+    rejected rows drop natively: both compare stored doubles against the
+    same float literals the Python kernel would see, so the routing is
+    bit-identical and only rows that genuinely need geometric clipping pay
+    the Python boundary. On a wrap pass this removes ~all rows from the
+    kernel (the center window trivially accepts everything away from the
+    dateline; the side windows trivially reject it).
+    """
     schema = features_df.schema
+    minc = F.col("minx") if axis == 0 else F.col("miny")
+    maxc = F.col("maxx") if axis == 0 else F.col("maxy")
+    acc = (minc >= F.lit(k1)) & (maxc < F.lit(k2))
+    rej = (maxc < F.lit(k1)) | (minc >= F.lit(k2))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -65,7 +81,8 @@ def clip_fixed_window(features_df, axis: int, k1: float, k2: float,
                 rows.extend(_emit_clipped(row, res, line_metrics))
             yield codec.rows_to_pdf(rows, schema)
 
-    return features_df.mapInPandas(kernel, schema)
+    mid = features_df.where(~acc & ~rej).mapInPandas(kernel, schema)
+    return features_df.where(acc).unionByName(mid)
 
 
 def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
@@ -77,6 +94,18 @@ def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
     (``geojsonvt.hpp:237-254``: x-clip into left/right halves, then y-clip
     each half), with buffer margin p = 0.5*buffer/extent scaled by 1/2^z.
     No shuffle: each feature expands into <= 4 child rows in place.
+
+    Features whose bbox is TRIVIAL against all four child windows (each
+    window trivially accepts or trivially rejects — the common case: a
+    feature well inside one quadrant, or the empty-bbox sentinel) are
+    routed to their children NATIVELY: the window bounds are recomputed as
+    column expressions with the exact IEEE operation sequence the Python
+    kernel uses ((tx - p)/2^z etc. — integer-to-double conversion,
+    subtraction, division and the comparisons are all individually
+    IEEE-exact and identically associated), so the routing decision is
+    bit-identical to ``kernels.clip_feature``'s accept/reject branch and
+    only rows that genuinely need geometric clipping cross the Python
+    boundary (guide §4: fewer rows and bytes per crossing).
     """
     schema = assigned_df.schema
     p = 0.5 * buffer / extent
@@ -116,4 +145,48 @@ def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
                                 rows.append(out)
             yield codec.rows_to_pdf(rows, schema)
 
-    return assigned_df.mapInPandas(kernel, schema)
+    # native trivial routing (see docstring): window bounds as column
+    # expressions, same IEEE op order as the kernel's Python floats
+    z2 = F.expr("shiftleft(1L, z)").cast("double")
+    xw = [
+        ((F.col("tx") - F.lit(p)) / z2, (F.col("tx") + F.lit(0.5) + F.lit(p)) / z2),
+        ((F.col("tx") + F.lit(0.5) - F.lit(p)) / z2, (F.col("tx") + F.lit(1) + F.lit(p)) / z2),
+    ]
+    yw = [
+        ((F.col("ty") - F.lit(p)) / z2, (F.col("ty") + F.lit(0.5) + F.lit(p)) / z2),
+        ((F.col("ty") + F.lit(0.5) - F.lit(p)) / z2, (F.col("ty") + F.lit(1) + F.lit(p)) / z2),
+    ]
+
+    def acc(minc, maxc, w):
+        return (F.col(minc) >= w[0]) & (F.col(maxc) < w[1])
+
+    def rej(minc, maxc, w):
+        return (F.col(maxc) < w[0]) | (F.col(minc) >= w[1])
+
+    x_acc = [acc("minx", "maxx", w) for w in xw]
+    x_trv = [x_acc[i] | rej("minx", "maxx", xw[i]) for i in (0, 1)]
+    y_acc = [acc("miny", "maxy", w) for w in yw]
+    y_trv = [y_acc[i] | rej("miny", "maxy", yw[i]) for i in (0, 1)]
+    native = x_trv[0] & x_trv[1] & y_trv[0] & y_trv[1]
+
+    quads = F.array(*[
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+            (x_acc[dx] & y_acc[dy]).alias("keep"),
+        )
+        for dx in (0, 1)
+        for dy in (0, 1)
+    ])
+    feature_cols = [f.name for f in schema.fields if f.name not in ("z", "tx", "ty")]
+    native_out = (
+        assigned_df.where(native)
+        .withColumn("q", F.explode(F.filter(quads, lambda s: s["keep"])))
+        .select(
+            (F.col("z") + F.lit(1)).cast("int").alias("z"),
+            (F.col("tx") * 2 + F.col("q.dx")).cast("long").alias("tx"),
+            (F.col("ty") * 2 + F.col("q.dy")).cast("long").alias("ty"),
+            *feature_cols,
+        )
+    )
+    kernel_out = assigned_df.where(~native).mapInPandas(kernel, schema)
+    return native_out.unionByName(kernel_out)
