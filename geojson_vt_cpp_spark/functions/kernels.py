@@ -142,6 +142,16 @@ def ring_area(pts: np.ndarray) -> float:
 # Douglas-Peucker importance tagging (simplify.hpp)
 # ---------------------------------------------------------------------------
 
+# below this segment length the Douglas-Peucker distance scan runs as a
+# plain Python float loop: small-array numpy calls cost ~1 µs of dispatch
+# per op while the whole scalar scan of a short segment is cheaper than ONE
+# of them (measured 3.5-4x on the us-states convert). Python floats and
+# numpy float64 share IEEE-754 semantics and the loop is the literal
+# transcription of the same scan, so the two paths are bit-identical
+# (tests/test_kernels.py parity test).
+_SIMPLIFY_NP_MIN = 128
+
+
 def simplify_tag(pts: np.ndarray, tolerance: float) -> None:
     """Tag per-point simplification importance into ``pts[:, 2]`` in place.
 
@@ -149,9 +159,10 @@ def simplify_tag(pts: np.ndarray, tolerance: float) -> None:
     each recursion pivot gets its max squared segment distance; exact-tie
     pivots are chosen closest to the middle index with the reference's
     stateful ``minPosToMid`` scan (only updated in the == branch). The
-    recursion is an explicit stack; the distance scan is numpy-vectorized
-    with the (rare) running-max event chain replayed sequentially so float
-    tie behavior matches the C++ loop bit-for-bit.
+    recursion is an explicit stack; long segments use a numpy-vectorized
+    distance scan with the (rare) running-max event chain replayed
+    sequentially, short segments a scalar loop — both match the C++ loop
+    bit-for-bit (see _SIMPLIFY_NP_MIN).
     """
     n = pts.shape[0]
     if n == 0:
@@ -164,10 +175,62 @@ def simplify_tag(pts: np.ndarray, tolerance: float) -> None:
 
     xs = pts[:, 0]
     ys = pts[:, 1]
+    # Python-float copies for the scalar path (tolist preserves bits)
+    xl = xs.tolist()
+    yl = ys.tolist()
     stack = [(0, n - 1)]
     while stack:
         first, last = stack.pop()
         if last - first < 2:
+            continue
+        if last - first < _SIMPLIFY_NP_MIN:
+            # scalar path: the reference's per-point scan verbatim
+            ax = xl[first]
+            ay = yl[first]
+            bx = xl[last]
+            by = yl[last]
+            dx = bx - ax
+            dy = by - ay
+            seg = dx * dx + dy * dy
+            mid = first + ((last - first) >> 1)
+            min_pos_to_mid = last - first
+            max_sq = sq_tolerance
+            index = 0
+            for i in range(first + 1, last):
+                pxv = xl[i]
+                pyv = yl[i]
+                if seg != 0.0:
+                    t = ((pxv - ax) * dx + (pyv - ay) * dy) / seg
+                    if t > 1.0:
+                        cx = bx
+                        cy = by
+                    elif t > 0.0:
+                        cx = ax + dx * t
+                        cy = ay + dy * t
+                    else:
+                        cx = ax
+                        cy = ay
+                else:
+                    cx = ax
+                    cy = ay
+                ddx = pxv - cx
+                ddy = pyv - cy
+                sq = ddx * ddx + ddy * ddy
+                if sq > max_sq:
+                    index = i
+                    max_sq = sq
+                elif sq == max_sq:
+                    pos_to_mid = abs(i - mid)
+                    if pos_to_mid < min_pos_to_mid:
+                        index = i
+                        min_pos_to_mid = pos_to_mid
+            if max_sq <= sq_tolerance:
+                continue
+            pts[index, 2] = max_sq
+            if index - first > 1:
+                stack.append((first, index))
+            if last - index > 1:
+                stack.append((index, last))
             continue
         ax = xs[first]
         ay = ys[first]

@@ -50,7 +50,7 @@ def _emit_clipped(row: dict, geoms, line_metrics: bool) -> list[dict]:
 
 
 def clip_fixed_window(features_df, axis: int, k1: float, k2: float,
-                      line_metrics: bool):
+                      line_metrics: bool, kernel_parts: int | None = None):
     """Clip every feature to one fixed slab [k1, k2) — used by wrap and the
     one-shot tile path, where the window does not depend on the row.
 
@@ -81,11 +81,56 @@ def clip_fixed_window(features_df, axis: int, k1: float, k2: float,
                 rows.extend(_emit_clipped(row, res, line_metrics))
             yield codec.rows_to_pdf(rows, schema)
 
-    mid = features_df.where(~acc & ~rej).mapInPandas(kernel, schema)
+    mid_in = features_df.where(~acc & ~rej)
+    if kernel_parts is not None:
+        # the mid set is usually tiny (boundary crossers); a full-width
+        # Python stage pays ~30-60 ms of runner handshake PER TASK even
+        # warm — reshuffle the small set to a sized, balanced stage
+        mid_in = mid_in.repartition(max(1, kernel_parts))
+    mid = mid_in.mapInPandas(kernel, schema)
     return features_df.where(acc).unionByName(mid)
 
 
-def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
+def _split_routing(p: float):
+    """(native, x_acc, y_acc) routing predicates for the 4-way split of a
+    row's tile (z/tx/ty columns) with buffer margin ``p``: ``native`` is
+    true when every child window trivially accepts or rejects the row's
+    bbox — the exact IEEE operation sequence of the kernel's Python floats
+    (see split_children docstring)."""
+    z2 = F.expr("shiftleft(1L, z)").cast("double")
+    xw = [
+        ((F.col("tx") - F.lit(p)) / z2, (F.col("tx") + F.lit(0.5) + F.lit(p)) / z2),
+        ((F.col("tx") + F.lit(0.5) - F.lit(p)) / z2, (F.col("tx") + F.lit(1) + F.lit(p)) / z2),
+    ]
+    yw = [
+        ((F.col("ty") - F.lit(p)) / z2, (F.col("ty") + F.lit(0.5) + F.lit(p)) / z2),
+        ((F.col("ty") + F.lit(0.5) - F.lit(p)) / z2, (F.col("ty") + F.lit(1) + F.lit(p)) / z2),
+    ]
+
+    def acc(minc, maxc, w):
+        return (F.col(minc) >= w[0]) & (F.col(maxc) < w[1])
+
+    def rej(minc, maxc, w):
+        return (F.col(maxc) < w[0]) | (F.col(minc) >= w[1])
+
+    x_acc = [acc("minx", "maxx", w) for w in xw]
+    x_trv = [x_acc[i] | rej("minx", "maxx", xw[i]) for i in (0, 1)]
+    y_acc = [acc("miny", "maxy", w) for w in yw]
+    y_trv = [y_acc[i] | rej("miny", "maxy", yw[i]) for i in (0, 1)]
+    return x_trv[0] & x_trv[1] & y_trv[0] & y_trv[1], x_acc, y_acc
+
+
+def split_mid_count_col(buffer: int, extent: int):
+    """Aggregation column counting the rows a subsequent
+    :func:`split_children` would send through the Python kernel (not
+    natively routable) — lets callers size the kernel stage from an
+    aggregate they already run."""
+    native, _x, _y = _split_routing(0.5 * buffer / extent)
+    return F.sum(F.when(~native, 1).otherwise(0))
+
+
+def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool,
+                   kernel_parts: int | None = None):
     """The 4-way pyramid split as one narrow mapInPandas pass.
 
     Input rows are features assigned to level-z tiles (columns z/tx/ty);
@@ -147,27 +192,7 @@ def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
 
     # native trivial routing (see docstring): window bounds as column
     # expressions, same IEEE op order as the kernel's Python floats
-    z2 = F.expr("shiftleft(1L, z)").cast("double")
-    xw = [
-        ((F.col("tx") - F.lit(p)) / z2, (F.col("tx") + F.lit(0.5) + F.lit(p)) / z2),
-        ((F.col("tx") + F.lit(0.5) - F.lit(p)) / z2, (F.col("tx") + F.lit(1) + F.lit(p)) / z2),
-    ]
-    yw = [
-        ((F.col("ty") - F.lit(p)) / z2, (F.col("ty") + F.lit(0.5) + F.lit(p)) / z2),
-        ((F.col("ty") + F.lit(0.5) - F.lit(p)) / z2, (F.col("ty") + F.lit(1) + F.lit(p)) / z2),
-    ]
-
-    def acc(minc, maxc, w):
-        return (F.col(minc) >= w[0]) & (F.col(maxc) < w[1])
-
-    def rej(minc, maxc, w):
-        return (F.col(maxc) < w[0]) | (F.col(minc) >= w[1])
-
-    x_acc = [acc("minx", "maxx", w) for w in xw]
-    x_trv = [x_acc[i] | rej("minx", "maxx", xw[i]) for i in (0, 1)]
-    y_acc = [acc("miny", "maxy", w) for w in yw]
-    y_trv = [y_acc[i] | rej("miny", "maxy", yw[i]) for i in (0, 1)]
-    native = x_trv[0] & x_trv[1] & y_trv[0] & y_trv[1]
+    native, x_acc, y_acc = _split_routing(p)
 
     quads = F.array(*[
         F.struct(
@@ -188,5 +213,14 @@ def split_children(assigned_df, buffer: int, extent: int, line_metrics: bool):
             *feature_cols,
         )
     )
-    kernel_out = assigned_df.where(~native).mapInPandas(kernel, schema)
+    kernel_in = assigned_df.where(~native)
+    if kernel_parts is not None:
+        # boundary-crossing rows are the minority AND spatially clustered:
+        # a round-robin repartition of just this small set both sizes the
+        # Python stage (per-task runner handshake is paid kernel_parts
+        # times, not once per upstream partition) and balances the real
+        # clip work (without it the mid rows ride the parent's spatial
+        # skew into a straggler task). The shuffle moves only mid rows.
+        kernel_in = kernel_in.repartition(max(1, kernel_parts))
+    kernel_out = kernel_in.mapInPandas(kernel, schema)
     return native_out.unionByName(kernel_out)

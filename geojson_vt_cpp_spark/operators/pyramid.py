@@ -42,7 +42,9 @@ from pyspark.sql import functions as F
 from geojson_vt_cpp_spark.config import Options
 from geojson_vt_cpp_spark.functions import kernels as K
 from geojson_vt_cpp_spark.operators import codec
-from geojson_vt_cpp_spark.operators.clip_stage import iter_rows, split_children
+from geojson_vt_cpp_spark.operators.clip_stage import (
+    iter_rows, split_children, split_mid_count_col,
+)
 from geojson_vt_cpp_spark.operators.convert import extract_features
 from geojson_vt_cpp_spark.operators.wrap import wrap_features
 
@@ -444,7 +446,8 @@ class TilePyramid:
             features_df
             if pre_wrapped
             else wrap_features(
-                features_df, self.o.buffer / self.o.extent, self.o.line_metrics
+                features_df, self.o.buffer / self.o.extent, self.o.line_metrics,
+                max_kernel_parts=self._n_parts,
             )
         )
         self._phase_log("wrap", _t0)
@@ -523,15 +526,20 @@ class TilePyramid:
                 # full-payload shuffle + rematerialization buys nothing
                 pass
             else:
-                # lazy checkpoint, materialized by the stats aggregate
-                # below: the level's kernel+shuffle output is written to
-                # block storage inside the aggregate's reduce stage (one
-                # fused pass) instead of an eager-checkpoint job followed
-                # by a cache-scan aggregate job. RDD-level blocks are
-                # ContextCleaner-managed, so dropped pyramids free them;
-                # the workdir/TableIO branch above stays the
+                # coalesce (not the round-robin repartition of earlier
+                # rounds): since the split kernel only sees rows that
+                # genuinely need geometric clipping (clip_stage native
+                # routing), per-level Python work is too small to justify a
+                # full-payload shuffle per zoom — the single balancing
+                # shuffle now lives in tile_features(), in front of the one
+                # remaining heavy Python pass (quantize). The coalesce only
+                # bounds the partition count (the native/kernel branch
+                # union doubles it every level). Lazy checkpoint: the
+                # level materializes inside its stats aggregate below (one
+                # fused pass, ContextCleaner-managed blocks); the
+                # workdir/TableIO branch above stays the
                 # reliable-checkpoint cluster path.
-                assigned = assigned.repartition(self._n_parts).localCheckpoint(
+                assigned = assigned.coalesce(self._n_parts).localCheckpoint(
                     eager=False
                 )
             self._phase_log(f"z{z} split (lazy)", _pt0)
@@ -546,7 +554,7 @@ class TilePyramid:
                 splits_np = self._level_stats_big(assigned, visit, z)
                 if splits_np is None:
                     break
-                sxs, sys_ = splits_np
+                sxs, sys_, mid_total = splits_np
                 kdf = self.spark.createDataFrame(
                     pd.DataFrame({"tx": sxs, "ty": sys_})
                 )
@@ -559,14 +567,22 @@ class TilePyramid:
                 )
             else:
                 stats = {
-                    (r["tx"], r["ty"]): (r["npts"], r["nrows"])
+                    (r["tx"], r["ty"]): (r["npts"], r["nrows"], r["nmid"])
                     for r in assigned.groupBy("tx", "ty")
-                    .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+                    .agg(
+                        F.sum("num_points").alias("npts"),
+                        F.count("*").alias("nrows"),
+                        # free sizing signal for the NEXT split's Python
+                        # stage (same scan): rows the native routing cannot
+                        # handle — see split_children/kernel_parts
+                        split_mid_count_col(o.buffer, o.extent).alias("nmid"),
+                    )
                     .collect()
                 }
                 splits = []
+                mid_total = 0
                 for (x, y) in sorted(visit):
-                    npts, nrows = stats.get((x, y), (0, 0))
+                    npts, nrows, nmid = stats.get((x, y), (0, 0, 0))
                     m = self._register(z, x, y, int(npts or 0), int(nrows))
                     if nrows == 0:
                         continue  # empty tile: materialized, never splits
@@ -574,6 +590,7 @@ class TilePyramid:
                         m.has_source = True  # leaf keeps source (geojsonvt.hpp:212-214)
                     else:
                         splits.append((x, y))
+                        mid_total += int(nmid or 0)
                 if not splits:
                     break
                 split_df = self._filter_tiles(assigned, splits)
@@ -584,7 +601,10 @@ class TilePyramid:
                     for dy in (0, 1)
                 }
             self._phase_log(f"z{z} agg+decide (materializes level)", _pt0)
-            assigned = split_children(split_df, o.buffer, o.extent, o.line_metrics)
+            assigned = split_children(
+                split_df, o.buffer, o.extent, o.line_metrics,
+                kernel_parts=self._size_parts(mid_total),
+            )
             z += 1
 
     def _level_stats_big(self, assigned: DataFrame, visit, z: int):
@@ -609,11 +629,16 @@ class TilePyramid:
         vxs, vys, packed = vxs[order], vys[order], packed[order]
         pdf = (
             assigned.groupBy("tx", "ty")
-            .agg(F.sum("num_points").alias("npts"), F.count("*").alias("nrows"))
+            .agg(
+                F.sum("num_points").alias("npts"),
+                F.count("*").alias("nrows"),
+                split_mid_count_col(o.buffer, o.extent).alias("nmid"),
+            )
             .toPandas()
         )
         npts = np.zeros(len(packed), dtype=np.int64)
         nrows = np.zeros(len(packed), dtype=np.int64)
+        nmid = np.zeros(len(packed), dtype=np.int64)
         if len(pdf):
             sp = (
                 pdf["tx"].to_numpy().astype(np.int64) << 29
@@ -624,6 +649,7 @@ class TilePyramid:
                 raise AssertionError("level stats contain unvisited tiles")
             npts[idx] = pdf["npts"].to_numpy().astype(np.int64)
             nrows[idx] = pdf["nrows"].to_numpy().astype(np.int64)
+            nmid[idx] = pdf["nmid"].fillna(0).to_numpy().astype(np.int64)
         nonempty = nrows > 0
         keep_src = nonempty & (
             (z == o.index_max_zoom) | (npts <= o.index_max_points)
@@ -633,7 +659,7 @@ class TilePyramid:
         self.stats[z] = self.stats.get(z, 0) + len(packed)
         if not split_mask.any():
             return None
-        return vxs[split_mask], vys[split_mask]
+        return vxs[split_mask], vys[split_mask], int(nmid[split_mask].sum())
 
     # ---------------------------------------------------------------- append
 
@@ -1021,19 +1047,24 @@ class TilePyramid:
         """All materialized tiles, quantized — lazy, cached.
 
         The union of per-level checkpoints accumulates partitions (levels +
-        drill rounds), so coalesce to the driver-known total row count
-        before the quantize kernel: no shuffle (the inputs are already
-        round-robin-balanced checkpoints, so merging adjacent partitions
-        keeps balance), far fewer per-task Python-runner startups.
-        A/B at local[8] (isolated subprocesses, alternating): plain union
-        16.2 s, repartition 15.3 s, coalesce 14.9 s best-of on the bench
-        corpus — and coalesce is what makes the 566k-tile traversal
-        read-back ~12 s instead of 138 s.
+        drill rounds) AND — since the BFS stopped round-robin-shuffling
+        every level (clip_stage native routing made per-level Python work
+        small) — carries whatever spatial imbalance the splits produced. The
+        quantize kernel is the one remaining full Python pass over every
+        row, so THIS is where the single balancing shuffle goes: one
+        round-robin repartition sized to the driver-known total row count
+        (it also bounds per-task Python-runner startups the way the old
+        coalesce did).
         """
         if self._tile_features is None:
-            union = self._assigned_union().coalesce(
-                self._size_parts(self.meta.total_rows())
-            )
+            import os as _os
+
+            union = self._assigned_union()
+            n = self._size_parts(self.meta.total_rows())
+            if _os.environ.get("SPARK_GRAFT_TF_SHUFFLE", "0") == "1":
+                union = union.repartition(n)
+            else:
+                union = union.coalesce(n)
             self._tile_features = quantize(union, self.o).persist()
         return self._tile_features
 

@@ -425,6 +425,14 @@ def point_in_polygon_join(
         crossing = (y_between & (pxc < x_cross)).cast("int")
         if not use_strips:
             cand = cand.drop("strip")
+        if not broadcast_edges and os.environ.get("SPARK_GRAFT_PIP_SHJ", "1") != "0":
+            # when the caller ruled the edge table out for broadcasting,
+            # make sure Catalyst doesn't sneak one in from a bad estimate:
+            # a driver-built multi-ten-MB hashed relation showed up as
+            # whole-session GC pressure (slower UNRELATED queries) and
+            # occasional multi-second build stalls. A shuffled-hash join
+            # moves both (small) sides once and builds per-partition.
+            edges = edges.hint("shuffle_hash")
         if broadcast_edges:
             joined = cand.join(F.broadcast(edges), jkeys)
         elif salt > 1:

@@ -28,7 +28,8 @@ def _shift(df: DataFrame, offset: float, copy_tag: int) -> DataFrame:
     )
 
 
-def wrap_features(feats: DataFrame, buffer: float, line_metrics: bool) -> DataFrame:
+def wrap_features(feats: DataFrame, buffer: float, line_metrics: bool,
+                  max_kernel_parts: int | None = None) -> DataFrame:
     """``detail::wrap`` — returns the input unchanged when no feature can
     reach the left/right world-copy windows.
 
@@ -47,15 +48,30 @@ def wrap_features(feats: DataFrame, buffer: float, line_metrics: bool) -> DataFr
             ((F.col("maxx") >= 1 - buffer) & (F.col("minx") < 2 + buffer)).cast("int")
         ).alias("n_right"),
         F.sum((F.col("minx") > F.col("maxx")).cast("int")).alias("n_empty"),
+        # rows the CENTER window cannot trivially accept (its Python-kernel
+        # upper bound; same scan, free) — sizes the clip stages below
+        F.sum(
+            (~((F.col("minx") >= -buffer) & (F.col("maxx") < 1 + buffer))).cast("int")
+        ).alias("n_center_mid"),
     ).first()
     n_left = (agg["n_left"] or 0) + (agg["n_empty"] or 0)
     n_right = (agg["n_right"] or 0) + (agg["n_empty"] or 0)
     if n_left == 0 and n_right == 0:
         return feats
 
-    left = clip_fixed_window(feats, 0, -1 - buffer, buffer, line_metrics)
-    center = clip_fixed_window(feats, 0, -buffer, 1 + buffer, line_metrics)
-    right = clip_fixed_window(feats, 0, 1 - buffer, 2 + buffer, line_metrics)
+    def kp(n_rows: int) -> int | None:
+        # size each window's Python stage to its measured row count: the
+        # per-task runner handshake dominates when few rows cross
+        if max_kernel_parts is None:
+            return None
+        return max(1, min(max_kernel_parts, n_rows // 256 + 1))
+
+    left = clip_fixed_window(feats, 0, -1 - buffer, buffer, line_metrics,
+                             kp(n_left))
+    center = clip_fixed_window(feats, 0, -buffer, 1 + buffer, line_metrics,
+                               kp(int(agg["n_center_mid"] or 0)))
+    right = clip_fixed_window(feats, 0, 1 - buffer, 2 + buffer, line_metrics,
+                              kp(n_right))
     return (
         _shift(left, 1.0, 0)
         .unionByName(center)

@@ -168,3 +168,47 @@ def test_c_round_half_away_from_zero():
 def test_projection_poles():
     x, y = K.project_xy(np.array([0.0, 0.0]), np.array([90.0, -90.0]))
     assert y[0] == 0.0 and y[1] == 1.0
+
+
+# --- simplify scalar/numpy path parity (round-6 optimization) ---------------
+
+def test_simplify_scalar_numpy_paths_bit_identical(monkeypatch):
+    """The short-segment scalar loop and the vectorized scan must produce
+    bit-identical importance tags: same recursion pivots, same tie-breaks,
+    same float values (the z column feeds the emit filters, so a single ULP
+    flip would change tile output)."""
+    import json
+    import geojson_vt_cpp_spark.functions.kernels as KK
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for n in (3, 5, 17, 64, 127, 128, 200, 1000):
+        cases.append(rng.random((n, 2)))
+        # collinear + duplicate-heavy cases exercise seg==0 and exact ties
+        line = np.linspace(0.0, 1.0, n)[:, None] * np.array([[1.0, 2.0]])
+        cases.append(line)
+        dup = np.repeat(rng.random((max(n // 3, 2), 2)), 3, axis=0)[:n]
+        cases.append(dup)
+    fx = json.loads(open("fixtures/us-states.json").read())
+    for f in fx["features"][:10]:
+        geom = f["geometry"]
+        rings = geom["coordinates"] if geom["type"] == "Polygon" else [
+            r for poly in geom["coordinates"] for r in poly
+        ]
+        for r in rings:
+            arr = np.asarray(r, dtype=np.float64)
+            x, y = KK.project_xy(arr[:, 0], arr[:, 1])
+            cases.append(np.stack([x, y], axis=1))
+
+    for tol in (0.0, 1e-6, 1e-4, 3e-3):
+        for c in cases:
+            a = np.zeros((c.shape[0], 3))
+            a[:, :2] = c
+            b = a.copy()
+            monkeypatch.setattr(KK, "_SIMPLIFY_NP_MIN", 0)  # force numpy
+            KK.simplify_tag(a, tol)
+            monkeypatch.setattr(KK, "_SIMPLIFY_NP_MIN", 10**9)  # force scalar
+            KK.simplify_tag(b, tol)
+            assert a[:, 2].tobytes() == b[:, 2].tobytes(), (
+                c.shape, tol, np.nonzero(a[:, 2] != b[:, 2]),
+            )
