@@ -189,7 +189,10 @@ def resize_images(
                 columns=["doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b"]
             )
 
-    return media_df.mapInPandas(kernel, schema)
+    # opaque-kernel column pruning (guide §4): Spark cannot see which
+    # columns the kernel reads, so project explicitly before the Arrow
+    # crossing (media_ref/media_kind never cross)
+    return media_df.select("doc_id", "payload", "width", "height").mapInPandas(kernel, schema)
 
 
 def decode_video_stub(
@@ -317,7 +320,10 @@ def sample_video_frames(
                 columns=["doc_id", "frame_idx", "n_frames", "mean_gray"]
             )
 
-    return media_df.mapInPandas(kernel, schema)
+    # opaque-kernel column pruning (guide §4): Spark cannot see which
+    # columns the kernel reads, so project explicitly before the Arrow
+    # crossing (media_ref/media_kind never cross)
+    return media_df.select("doc_id", "payload", "width", "height", "n_frames").mapInPandas(kernel, schema)
 
 
 def synthesize_audio_table(docs_df: DataFrame) -> DataFrame:
@@ -405,7 +411,10 @@ def extract_audio_features(media_df: DataFrame, fake_decode: bool = True) -> Dat
                 ]
             )
 
-    return media_df.mapInPandas(kernel, schema)
+    # opaque-kernel column pruning (guide §4): Spark cannot see which
+    # columns the kernel reads, so project explicitly before the Arrow
+    # crossing (media_ref/media_kind never cross)
+    return media_df.select("doc_id", "payload", "sample_rate", "n_samples").mapInPandas(kernel, schema)
 
 
 def extract_image_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -446,4 +455,7 @@ def extract_image_features(media_df: DataFrame, fake_decode: bool = True) -> Dat
                 columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "std_gray"]
             )
 
-    return media_df.mapInPandas(kernel, schema)
+    # opaque-kernel column pruning (guide §4): Spark cannot see which
+    # columns the kernel reads, so project explicitly before the Arrow
+    # crossing (media_ref/media_kind never cross)
+    return media_df.select("doc_id", "payload", "width", "height").mapInPandas(kernel, schema)
