@@ -454,62 +454,65 @@ def _clip_ring_part(pts: np.ndarray, axis: int, k1: float, k2: float) -> np.ndar
     if n < 2:
         return np.empty((0, 3))
 
-    a = pts[:-1]
-    b = pts[1:]
-    ak = a[:, axis]
-    bk = b[:, axis]
-    o = 1 - axis
-    nseg = n - 1
-    is_last = np.zeros(nseg, dtype=bool)
-    is_last[-1] = True
-
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t1 = (k1 - ak) / (bk - ak)
-        t2 = (k2 - ak) / (bk - ak)
-        x1o = (b[:, o] - a[:, o]) * t1 + a[:, o]
-        x2o = (b[:, o] - a[:, o]) * t2 + a[:, o]
-
-    below = ak < k1
-    above = ak > k2
-    inside = ~below & ~above
-
-    def cross_pt(kval, to, i):
-        p = np.empty(3)
-        p[axis] = kval
-        p[o] = to[i]
-        p[2] = 1.0
-        return p
-
-    out: list[np.ndarray] = []
-    active = (below & (bk > k1)) | (above & (bk < k2)) | inside
-    for i in np.nonzero(active)[0]:
-        i = int(i)
-        if below[i]:
+    # scalar walk over Python floats: the emit loop was always per-segment
+    # Python, but it paid vectorized precompute over EVERY segment plus a
+    # per-point np.empty(3) and a final vstack of many tiny arrays — for
+    # the ring sizes the pyramid split actually sees, tuple emission + one
+    # np.array at the end is several times faster. The crossing arithmetic
+    # keeps the exact expression tree of the vectorized form
+    # ((k - ak)/(bk - ak), (b_o - a_o)*t + a_o), so outputs are
+    # bit-identical (Python float == IEEE float64).
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
+    zs = pts[:, 2].tolist()
+    ks = xs if axis == 0 else ys
+    os_ = ys if axis == 0 else xs
+    out: list[tuple[float, float, float]] = []
+    last_i = n - 2
+    for i in range(n - 1):
+        ak = ks[i]
+        bk = ks[i + 1]
+        if ak < k1:
+            if not (bk > k1):
+                continue
             # ---|-->  |
-            out.append(cross_pt(k1, x1o, i))
-            if bk[i] > k2:
-                out.append(cross_pt(k2, x2o, i))
-            elif is_last[i]:
-                out.append(b[i].copy())
-        elif above[i]:
-            out.append(cross_pt(k2, x2o, i))
-            if bk[i] < k1:
-                out.append(cross_pt(k1, x1o, i))
-            elif is_last[i]:
-                out.append(b[i].copy())
+            t = (k1 - ak) / (bk - ak)
+            co = (os_[i + 1] - os_[i]) * t + os_[i]
+            out.append((k1, co, 1.0) if axis == 0 else (co, k1, 1.0))
+            if bk > k2:
+                t = (k2 - ak) / (bk - ak)
+                co = (os_[i + 1] - os_[i]) * t + os_[i]
+                out.append((k2, co, 1.0) if axis == 0 else (co, k2, 1.0))
+            elif i == last_i:
+                out.append((xs[i + 1], ys[i + 1], zs[i + 1]))
+        elif ak > k2:
+            if not (bk < k2):
+                continue
+            t = (k2 - ak) / (bk - ak)
+            co = (os_[i + 1] - os_[i]) * t + os_[i]
+            out.append((k2, co, 1.0) if axis == 0 else (co, k2, 1.0))
+            if bk < k1:
+                t = (k1 - ak) / (bk - ak)
+                co = (os_[i + 1] - os_[i]) * t + os_[i]
+                out.append((k1, co, 1.0) if axis == 0 else (co, k1, 1.0))
+            elif i == last_i:
+                out.append((xs[i + 1], ys[i + 1], zs[i + 1]))
         else:
-            out.append(a[i].copy())
-            if bk[i] < k1:
-                out.append(cross_pt(k1, x1o, i))
-            elif bk[i] > k2:
-                out.append(cross_pt(k2, x2o, i))
+            out.append((xs[i], ys[i], zs[i]))
+            if bk < k1:
+                t = (k1 - ak) / (bk - ak)
+                co = (os_[i + 1] - os_[i]) * t + os_[i]
+                out.append((k1, co, 1.0) if axis == 0 else (co, k1, 1.0))
+            elif bk > k2:
+                t = (k2 - ak) / (bk - ak)
+                co = (os_[i + 1] - os_[i]) * t + os_[i]
+                out.append((k2, co, 1.0) if axis == 0 else (co, k2, 1.0))
 
     if not out:
         return np.empty((0, 3))
-    ring = np.vstack(out)
-    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
-        ring = np.vstack([ring, ring[0]])
-    return ring
+    if out[0][0] != out[-1][0] or out[0][1] != out[-1][1]:
+        out.append(out[0])
+    return np.array(out, dtype=np.float64)
 
 
 def clip_geom(
