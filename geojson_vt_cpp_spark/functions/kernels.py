@@ -703,13 +703,21 @@ def _c_round(v: np.ndarray) -> np.ndarray:
     return np.trunc(v + np.copysign(0.5, v))
 
 
+# Parts below this length take the scalar quantize walk in transform_tile;
+# numpy keeps longer ones. Bit-identical either way (Python float ops are the
+# same C-double ops numpy applies elementwise, and the int16 wrap formula
+# matches astype(np.int16) — gated by
+# tests/test_kernels.py::test_transform_scalar_numpy_paths_bit_identical).
+_TRANSFORM_NP_MIN = 128
+
+
 @dataclass
 class TileFeatureOut:
-    """Quantized output feature: base type 1/2/3, int16 parts."""
+    """Quantized output feature: base type 1/2/3, int16-valued parts."""
 
     out_type: int  # 1 point, 2 line, 3 polygon (golden tile-JSON codes)
     is_multi: bool
-    parts: list[np.ndarray]  # list of (n,2) int16 arrays
+    parts: list[tuple[list, list]]  # per part: (xs, ys) int lists
     poly_lens: np.ndarray  # rings per polygon when multipolygon
     metrics: tuple[float, float] | None  # (clip_start, clip_end) for lines
 
@@ -734,14 +742,47 @@ def transform_tile(
     """
     sq_tolerance = tolerance * tolerance
 
-    txy = np.array([float(tx), float(ty)])
+    txf = float(tx)
+    tyf = float(ty)
+    txy = np.array([txf, tyf])
+    _trunc = math.trunc
+    _csign = math.copysign
 
-    def q(pts: np.ndarray) -> np.ndarray:
+    def q_np(kept: np.ndarray) -> tuple[list, list]:
         # one (n,2) op chain instead of two 1-d chains + np.stack: identical
         # IEEE values (same elementwise ops, exact int->double offsets),
         # ~half the ufunc dispatches on the typical small part
-        v = (pts[:, :2] * z2 - txy) * extent
-        return np.trunc(v + np.copysign(0.5, v)).astype(np.int16)
+        v = (kept[:, :2] * z2 - txy) * extent
+        qq = np.trunc(v + np.copysign(0.5, v)).astype(np.int16)
+        return qq[:, 0].tolist(), qq[:, 1].tolist()
+
+    def q_part(part: np.ndarray, filtered: bool) -> tuple[list, list]:
+        # importance filter (z > sq_tolerance, when filtered) fused with the
+        # quantize; scalar walk under _TRANSFORM_NP_MIN (Python floats are the
+        # same C doubles, the & 0xFFFF wrap equals astype(np.int16))
+        if part.shape[0] < _TRANSFORM_NP_MIN:
+            try:
+                xs: list = []
+                ys: list = []
+                for x, y, zz in part.tolist():
+                    if filtered and not zz > sq_tolerance:
+                        continue
+                    vx = (x * z2 - txf) * extent
+                    vy = (y * z2 - tyf) * extent
+                    # astype(np.int16) is (int16)(int32)double: low 16 bits
+                    # in int32 range, else the 0x80000000 indefinite -> 0
+                    t = _trunc(vx + _csign(0.5, vx))
+                    xs.append(((t + 32768) & 0xFFFF) - 32768
+                              if -2147483648 <= t <= 2147483647 else 0)
+                    t = _trunc(vy + _csign(0.5, vy))
+                    ys.append(((t + 32768) & 0xFFFF) - 32768
+                              if -2147483648 <= t <= 2147483647 else 0)
+                return xs, ys
+            except (OverflowError, ValueError):
+                pass  # non-finite coordinate: numpy path (casts to 0)
+        if filtered:
+            part = part[part[:, 2] > sq_tolerance]
+        return q_np(part)
 
     n_simplified = 0
     gt = g.gtype
@@ -750,29 +791,29 @@ def transform_tile(
         return TileFeatureOut(0, False, [], _EMPTY_I32, None), 0
 
     if gt == GT_POINT or gt == GT_MULTIPOINT:
-        pts = q(g.pts)
-        n_simplified += pts.shape[0]
-        if pts.shape[0] == 0:
+        pts = q_part(g.pts, False)
+        npts = len(pts[0])
+        n_simplified += npts
+        if npts == 0:
             return None, n_simplified
-        if pts.shape[0] == 1:
+        if npts == 1:
             return TileFeatureOut(1, False, [pts], _EMPTY_I32, None), n_simplified
         # multipoint keeps one part-per-point in tile JSON terms; store as
-        # a single (n,2) part with is_multi flag
+        # a single (xs, ys) part with is_multi flag
         return (
             TileFeatureOut(1, gt == GT_MULTIPOINT, [pts], _EMPTY_I32, None),
             n_simplified,
         )
 
     if gt == GT_LINE or gt == GT_MULTILINE:
-        out_parts: list[np.ndarray] = []
+        out_parts: list[tuple[list, list]] = []
         metas: list[int] = []
         for part, pi in g.parts():
             if float(g.part_meta[pi]) > tolerance:  # dist filter (tile.hpp:153,179)
-                keep = part[:, 2] > sq_tolerance
-                kept = part[keep]
-                n_simplified += kept.shape[0]
+                kept = q_part(part, True)
+                n_simplified += len(kept[0])
                 if gt == GT_LINE:
-                    if kept.shape[0] == 0:
+                    if len(kept[0]) == 0:
                         return None, n_simplified  # line dropped (tile.hpp:86)
                     metrics = None
                     if line_metrics:
@@ -782,10 +823,10 @@ def transform_tile(
                             float(g.seg_end[pi]) / dist,
                         )
                     return (
-                        TileFeatureOut(2, False, [q(kept)], _EMPTY_I32, metrics),
+                        TileFeatureOut(2, False, [kept], _EMPTY_I32, metrics),
                         n_simplified,
                     )
-                out_parts.append(q(kept))
+                out_parts.append(kept)
                 metas.append(pi)
         if gt == GT_LINE:
             return None, n_simplified  # dist <= tolerance
@@ -798,31 +839,29 @@ def transform_tile(
         return TileFeatureOut(2, True, out_parts, _EMPTY_I32, None), n_simplified
 
     if gt == GT_POLYGON:
-        out_rings: list[np.ndarray] = []
+        out_rings: list[tuple[list, list]] = []
         for part, pi in g.parts():
             if float(g.part_meta[pi]) > sq_tolerance:  # area filter (tile.hpp:165,189)
-                keep = part[:, 2] > sq_tolerance
-                kept = part[keep]
-                n_simplified += kept.shape[0]
-                out_rings.append(q(kept))
+                kept = q_part(part, True)
+                n_simplified += len(kept[0])
+                out_rings.append(kept)
         if not out_rings:
             return None, n_simplified
         return TileFeatureOut(3, False, out_rings, _EMPTY_I32, None), n_simplified
 
     if gt == GT_MULTIPOLYGON:
-        polys: list[list[np.ndarray]] = []
+        polys: list[list[tuple[list, list]]] = []
         off = 0
         pi = 0
         for nrings in g.poly_lens:
-            rings: list[np.ndarray] = []
+            rings: list[tuple[list, list]] = []
             for _ in range(int(nrings)):
                 nlen = int(g.part_lens[pi])
                 part = g.pts[off : off + nlen]
                 if float(g.part_meta[pi]) > sq_tolerance:
-                    keep = part[:, 2] > sq_tolerance
-                    kept = part[keep]
-                    n_simplified += kept.shape[0]
-                    rings.append(q(kept))
+                    kept = q_part(part, True)
+                    n_simplified += len(kept[0])
+                    rings.append(kept)
                 off += nlen
                 pi += 1
             if rings:

@@ -298,8 +298,8 @@ def quantize_one(
         "slice_path": row["slice_path"],
         "out_type": tf.out_type,
         "is_multi": tf.is_multi,
-        "part_xs": [p[:, 0].tolist() for p in tf.parts],
-        "part_ys": [p[:, 1].tolist() for p in tf.parts],
+        "part_xs": [p[0] for p in tf.parts],
+        "part_ys": [p[1] for p in tf.parts],
         "poly_lens": tf.poly_lens.tolist(),
         "props_json": props_json,
         "feature_id": row["feature_id"],

@@ -109,7 +109,7 @@ def materialize(feats, z, x, y, extent, tolerance, line_metrics) -> LocalTile:
             {
                 "type": tf.out_type,
                 "is_multi": tf.is_multi,
-                "parts": [p.tolist() for p in tf.parts],
+                "parts": [[[x, y] for x, y in zip(p[0], p[1])] for p in tf.parts],
                 "poly_lens": tf.poly_lens.tolist(),
                 "tags": props,
                 "id": f.fid,

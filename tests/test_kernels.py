@@ -212,3 +212,73 @@ def test_simplify_scalar_numpy_paths_bit_identical(monkeypatch):
             assert a[:, 2].tobytes() == b[:, 2].tobytes(), (
                 c.shape, tol, np.nonzero(a[:, 2] != b[:, 2]),
             )
+
+
+# --- transform_tile scalar/numpy quantize parity (round-6 optimization) -----
+
+def test_transform_scalar_numpy_paths_bit_identical(monkeypatch):
+    """The short-part scalar quantize walk and the numpy chain must emit
+    identical int values (same C-double op order; the & 0xFFFF wrap must
+    match astype(np.int16)), the same importance filtering, and the same
+    n_simplified accounting — for every geometry type, at real and extreme
+    coordinates (incl. out-of-int16-range values from unclipped transforms
+    and non-finite coordinates, where the scalar path must fall back)."""
+    import geojson_vt_cpp_spark.functions.kernels as KK
+
+    rng = np.random.default_rng(7)
+
+    def geoms():
+        out = []
+        for n in (1, 2, 3, 17, 127, 128, 300):
+            pts = np.zeros((n, 3))
+            pts[:, :2] = rng.random((n, 2)) * 1.2 - 0.1
+            pts[:, 2] = rng.random(n) * 1e-5
+            pts[[0, -1], 2] = 1.0
+            out.append(KK.Geom(KK.GT_MULTIPOINT if n > 1 else KK.GT_POINT,
+                               pts.copy(), np.array([n], np.int32),
+                               np.array([5.0]), np.zeros(1), np.ones(1)))
+            out.append(KK.Geom(KK.GT_LINE, pts.copy(), np.array([n], np.int32),
+                               np.array([5.0]), np.zeros(1), np.ones(1)))
+            if n >= 4:
+                ring = pts.copy()
+                ring[-1] = ring[0]
+                out.append(KK.Geom(KK.GT_POLYGON, ring,
+                                   np.array([n], np.int32), np.array([5.0]),
+                                   np.zeros(1), np.ones(1)))
+        # out-of-range coordinates (unclipped one-shot transforms can exceed
+        # int16 after quantize -> the wrap formula must match astype)
+        big = np.zeros((6, 3))
+        big[:, 0] = [5.0, -3.0, 40.0, -40.0, 1e6, -1e6]
+        big[:, 1] = [7.0, -9.0, 80.0, -80.0, 2e6, -2e6]
+        big[:, 2] = 1.0
+        out.append(KK.Geom(KK.GT_MULTIPOINT, big, np.array([6], np.int32),
+                           np.array([5.0]), np.zeros(1), np.ones(1)))
+        # non-finite coordinates: scalar path must fall back to numpy
+        nf = np.zeros((3, 3))
+        nf[:, 0] = [0.5, np.nan, np.inf]
+        nf[:, 1] = [0.5, 0.5, -np.inf]
+        nf[:, 2] = 1.0
+        out.append(KK.Geom(KK.GT_MULTIPOINT, nf, np.array([3], np.int32),
+                           np.array([5.0]), np.zeros(1), np.ones(1)))
+        return out
+
+    cases = geoms()  # one draw; transform_tile does not mutate its input
+    for z, tx, ty in ((0, 0, 0), (3, 5, 2), (14, 9131, 6546)):
+        for tol in (0.0, 1e-6, 3e-3):
+            for lm in (False, True):
+                monkeypatch.setattr(KK, "_TRANSFORM_NP_MIN", 0)  # force numpy
+                a = [KK.transform_tile(g, float(1 << z), tx, ty, 4096, tol, lm)
+                     for g in cases]
+                monkeypatch.setattr(KK, "_TRANSFORM_NP_MIN", 10**9)  # scalar
+                b = [KK.transform_tile(g, float(1 << z), tx, ty, 4096, tol, lm)
+                     for g in cases]
+                for (ta, na), (tb, nb) in zip(a, b):
+                    assert na == nb
+                    if ta is None or tb is None:
+                        assert ta is None and tb is None
+                        continue
+                    assert ta.out_type == tb.out_type
+                    assert ta.is_multi == tb.is_multi
+                    assert ta.metrics == tb.metrics
+                    assert ta.poly_lens.tolist() == tb.poly_lens.tolist()
+                    assert ta.parts == tb.parts
