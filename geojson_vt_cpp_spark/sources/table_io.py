@@ -422,11 +422,40 @@ class TableIO:
         # last committer wins _manifest.json, every committed snapshot
         # stays listed via its archive. Single-writer-per-stage is NOT
         # required for safety, only for a deterministic "current" pointer.
+        manifest = {
+            "stage": name,
+            "snapshot_id": snapshot_id,
+            "version": version,
+            "data_dir": data_dir,
+            "inputs": want_inputs,
+            "fingerprint": fingerprint,
+            "partitions": per_file,
+            "total_rows": total,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "complete": True,
+        }
         with self._commit_lock(name):
             cur = self._manifest_path(name)
+            cur_m = None
             try:
                 with open(cur) as f:
                     cur_m = json.load(f)
+            except FileNotFoundError:
+                pass  # no current manifest (first write or mid-kill window)
+            if cur_m is not None and self._version_of(cur_m) > version:
+                # a concurrent writer committed a NEWER version while we were
+                # writing: taking the pointer would regress "current" to older
+                # content. Archive ourselves instead — the snapshot stays
+                # listed/readable via its archived manifest.
+                ap = os.path.join(
+                    self.workdir, name, f"_manifest.v{version:03d}.json"
+                )
+                tmp = f"{ap}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=2, sort_keys=True)
+                os.replace(tmp, ap)
+                return StageResult(name, out, snapshot_id, False, total)
+            if cur_m is not None:
                 os.replace(
                     cur,
                     os.path.join(
@@ -435,23 +464,7 @@ class TableIO:
                         f"_manifest.v{self._version_of(cur_m):03d}.json",
                     ),
                 )
-            except FileNotFoundError:
-                pass  # no current manifest (first write or mid-kill window)
-            self._write_manifest(
-                name,
-                {
-                    "stage": name,
-                    "snapshot_id": snapshot_id,
-                    "version": version,
-                    "data_dir": data_dir,
-                    "inputs": want_inputs,
-                    "fingerprint": fingerprint,
-                    "partitions": per_file,
-                    "total_rows": total,
-                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                    "complete": True,
-                },
-            )
+            self._write_manifest(name, manifest)
         return StageResult(name, out, snapshot_id, False, total)
 
 

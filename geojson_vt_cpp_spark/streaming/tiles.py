@@ -111,32 +111,62 @@ def _batch_processor(
     construction (per-batch overwrite dirs), but ``append`` MUTATES the
     pyramid — an in-process microbatch redelivery (foreachBatch replays a
     batch id after a recovery) must therefore be dropped here, or the
-    same documents would index twice."""
+    same documents would index twice. The mutation is recorded in
+    ``state["appended"]`` IMMEDIATELY after it succeeds (before the
+    publish write), so a redelivery after a failed publish skips the
+    re-append and only retries the idempotent write — the pre-append
+    digest snapshot is stashed alongside so the retried change set is
+    the one the failed publish would have written."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in state["batches"]:
+        bid = int(batch_id)
+        if bid in state["batches"]:
             return  # replayed batch: pyramid already holds these docs
-        if batch_df.isEmpty():
-            return
-        pyr: TilePyramid | None = state["pyramid"]
-        if pyr is None:
-            old_digests = None
-            pyr = TilePyramid.from_documents(batch_df, options)
-            state["pyramid"] = pyr
+        appended: dict = state.setdefault("appended", {})
+        if bid in appended:
+            # appended but publish never committed: retry the write only
+            pyr = state["pyramid"]
+            old_digests = appended[bid]
         else:
-            # snapshot OLD content digests before append invalidates the
-            # cached union (one row per tile — registry-bounded)
-            old_digests = tile_digests(pyr.tile_features()).localCheckpoint()
-            pyr.append(docs_df=batch_df)
+            if batch_df.isEmpty():
+                return
+            pyr = state["pyramid"]
+            if pyr is None:
+                # fresh in-process state: a publish dir that already holds
+                # batches means this is a replay after a restart — seeding
+                # the pyramid from this batch alone would silently drop
+                # every earlier batch's features from published tiles
+                import os as _os
+
+                if _os.path.isdir(publish_dir) and any(
+                    d.startswith("batch_id=") for d in _os.listdir(publish_dir)
+                ):
+                    raise RuntimeError(
+                        f"publish_dir {publish_dir!r} already contains "
+                        "published batches but the in-process pyramid state "
+                        "is empty (restart replay). Rebuild the pyramid from "
+                        "the full document history before resuming, or point "
+                        "the stream at fresh publish/checkpoint dirs."
+                    )
+                old_digests = None
+                pyr = TilePyramid.from_documents(batch_df, options)
+                state["pyramid"] = pyr
+            else:
+                # snapshot OLD content digests before append invalidates the
+                # cached union (one row per tile — registry-bounded)
+                old_digests = tile_digests(pyr.tile_features()).localCheckpoint()
+                pyr.append(docs_df=batch_df)
+            appended[bid] = old_digests  # recorded before the publish write
         out = publish_changed_mvt(
             old_digests,
             pyr.tile_features(),
             layer_name=layer_name,
             extent=options.extent,  # blobs must declare the quantize extent
         )
-        bdir = f"{publish_dir}/batch_id={int(batch_id)}"
+        bdir = f"{publish_dir}/batch_id={bid}"
         out.write.mode("overwrite").parquet(bdir)
-        state["batches"][int(batch_id)] = _parquet_dir_rows(bdir)
+        state["batches"][bid] = _parquet_dir_rows(bdir)
+        appended[bid] = None  # publish committed: drop the digest stash
 
     return process_batch
 

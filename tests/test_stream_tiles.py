@@ -202,3 +202,77 @@ def test_replayed_microbatch_is_dropped(spark, tmp_path):
         for d in os.listdir(publish)
     } == mtimes  # sink untouched, not merely rewritten equal
     state["pyramid"].close()
+
+
+def test_replay_after_failed_publish_skips_reappend(spark, tmp_path, monkeypatch):
+    """A batch that fails BETWEEN append and the publish write is recorded
+    as appended immediately, so its redelivery must retry only the
+    idempotent publish — never the pyramid mutation (the double-index
+    hazard the replay guard exists for)."""
+    import geojson_vt_cpp_spark.streaming.tiles as ST
+
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    b0 = docs.where(F.abs(F.hash("doc_id")) % 2 == 0)
+    b1 = docs.where(F.abs(F.hash("doc_id")) % 2 == 1)
+    publish = str(tmp_path / "pub")
+    state = {"pyramid": None, "batches": {}}
+    proc = ST._batch_processor(Options(**OPTS), publish, "features", state)
+    proc(b0, 0)
+
+    calls = {"n": 0}
+    orig = ST.publish_changed_mvt
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected publish failure")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ST, "publish_changed_mvt", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        proc(b1, 1)
+    total_after_append = state["pyramid"].total
+    assert 1 in state["appended"] and 1 not in state["batches"]
+
+    proc(b1, 1)  # redelivery: publish retried, append skipped
+    assert state["pyramid"].total == total_after_append
+    assert state["batches"][1] > 0
+
+    # published content equals a clean (no-failure) run of the same batches
+    state2 = {"pyramid": None, "batches": {}}
+    publish2 = str(tmp_path / "pub2")
+    proc2 = ST._batch_processor(Options(**OPTS), publish2, "features", state2)
+    proc2(b0, 0)
+    proc2(b1, 1)
+    assert state["batches"] == state2["batches"]
+    a = sorted(
+        (r["z"], r["tx"], r["ty"], r["n_features"], bytes(r["mvt"] or b""))
+        for r in _read_current(spark, publish).collect()
+    )
+    b = sorted(
+        (r["z"], r["tx"], r["ty"], r["n_features"], bytes(r["mvt"] or b""))
+        for r in _read_current(spark, publish2).collect()
+    )
+    assert a == b
+    state["pyramid"].close()
+    state2["pyramid"].close()
+
+
+def test_restart_replay_with_existing_publish_fails_loudly(spark, tmp_path):
+    """A fresh in-process state pointed at a publish_dir that already holds
+    batches is a restart replay: seeding the pyramid from one batch would
+    silently drop earlier batches' features, so the processor must refuse."""
+    import geojson_vt_cpp_spark.streaming.tiles as ST
+
+    docs = documents_from_fixture(spark, load_fixture("us-states.json"), "us-states")
+    b0 = docs.where(F.abs(F.hash("doc_id")) % 2 == 0)
+    publish = str(tmp_path / "pub")
+    state = {"pyramid": None, "batches": {}}
+    proc = ST._batch_processor(Options(**OPTS), publish, "features", state)
+    proc(b0, 0)
+    state["pyramid"].close()
+
+    fresh = {"pyramid": None, "batches": {}}
+    proc2 = ST._batch_processor(Options(**OPTS), publish, "features", fresh)
+    with pytest.raises(RuntimeError, match="restart replay"):
+        proc2(b0, 0)

@@ -298,3 +298,35 @@ def test_compact_partitioned_stage_converges(spark, tmp_path):
     # second maintenance call: converged -> noop, no new version
     assert io.compact("part", target_file_rows=40, partition_by=("z",)) is None
     assert io.read_manifest("part")["version"] == m1["version"]
+
+
+def test_interleaved_commit_does_not_regress_current(spark, tmp_path):
+    """Writer A claims v000, writer B claims v001 and commits FIRST; A's
+    later commit must not take the pointer back to v000 — 'current' stays
+    on the newest version and A's snapshot is archived instead."""
+    io = TableIO(spark, str(tmp_path / "wd"))
+
+    def build_a():
+        # B runs to completion while A is still building
+        io.run_stage(
+            "nums",
+            lambda: io.spark.range(25).selectExpr("id", "id * 2 as dbl"),
+            fingerprint="fp-B",
+        )
+        return io.spark.range(10).selectExpr("id", "id * 2 as dbl")
+
+    ra = io.run_stage("nums", build_a, fingerprint="fp-A")
+    assert not ra.resumed and ra.rows == 10
+
+    m = io.read_manifest("nums")
+    assert m["version"] == 1 and m["fingerprint"] == "fp-B"  # B stays current
+    assert [s["version"] for s in io.snapshots("nums")] == [0, 1]
+    assert io.read_snapshot("nums", 0).count() == 10  # A readable, archived
+    assert io.read_snapshot("nums").count() == 25
+    # resume with B's fingerprint serves B; A's fingerprint re-runs nothing
+    rb = io.run_stage(
+        "nums",
+        lambda: io.spark.range(25).selectExpr("id", "id * 2 as dbl"),
+        fingerprint="fp-B",
+    )
+    assert rb.resumed and rb.rows == 25
